@@ -1,0 +1,75 @@
+package graft.sketch
+
+import graft.hash.HashKernels
+
+/** Feature extraction: text shingling and pHash bit-grams.
+  *
+  * The reference shingles DNA into k-mers before hashing
+  * (`/root/reference/src/MinHash.cpp:465-746`); our domain (north_star) is
+  * image pHashes + captions, so the analogous narrow per-row stage produces:
+  *  - character k-shingle hashes of the caption (murmur3 low64, seed 42 — the
+  *    reference's hash/seed, `src/MinHash.cpp:350-377`),
+  *  - word n-gram hashes,
+  *  - pHash bit-grams: overlapping bit-windows of the 64-bit perceptual hash,
+  *    position-tagged, so Hamming-close pHashes share most features.
+  */
+object Shingles {
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** distinct character k-shingle hashes (unsigned-sorted for determinism). */
+  def charShingles(text: String, k: Int, seed: Int = 42): Array[Long] = {
+    if (text == null || text.length < k) return Array.emptyLongArray
+    val bytes = text.getBytes(Utf8)
+    if (bytes.length < k) return Array.emptyLongArray
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i + k <= bytes.length) {
+      set.add(HashKernels.murmur3_x64_128(bytes, i, k, seed)._1)
+      i += 1
+    }
+    toSortedArray(set)
+  }
+
+  /** distinct word n-gram hashes over whitespace tokens. */
+  def tokenNgrams(text: String, n: Int, seed: Int = 42): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val tokens = text.split("\\s+").filter(_.nonEmpty)
+    if (tokens.length < n) return Array.emptyLongArray
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= tokens.length) {
+      val gram = tokens.slice(i, i + n).mkString(" ").getBytes(Utf8)
+      set.add(HashKernels.murmur3_x64_128(gram, 0, gram.length, seed)._1)
+      i += 1
+    }
+    toSortedArray(set)
+  }
+
+  /** pHash bit-gram features: `64/step` overlapping windows of `gram` bits
+    * (wrapping), each tagged with its offset then mixed. A single flipped
+    * bit corrupts at most `gram/step` of the `64/step` features. */
+  def phashBitgrams(phash: Long, gram: Int = 16, step: Int = 4): Array[Long] = {
+    val n = 64 / step
+    val mask = if (gram >= 64) -1L else (1L << gram) - 1
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val window = java.lang.Long.rotateRight(phash, i * step) & mask
+      out(i) = HashKernels.fmix64Seeded(window, 0x5bd1e995L * (i + 1))
+      i += 1
+    }
+    out
+  }
+
+  private def toSortedArray(set: java.util.HashSet[java.lang.Long]): Array[Long] = {
+    val arr = new Array[Long](set.size())
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = HashKernels.unsignedSortKey(it.next()); i += 1 }
+    java.util.Arrays.sort(arr)
+    i = 0
+    while (i < arr.length) { arr(i) = arr(i) ^ Long.MinValue; i += 1 }
+    arr
+  }
+}
