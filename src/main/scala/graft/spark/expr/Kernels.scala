@@ -1,0 +1,111 @@
+package graft.spark.expr
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sketch._
+
+/** Static per-row kernels invoked from generated code (whole-stage codegen
+  * emits `graft.spark.expr.Kernels.method(...)` — Scala top-level objects get
+  * static forwarders). Keeping the kernels out of the Expression classes
+  * keeps `doGenCode` to a single call and the JIT free to inline.
+  */
+object Kernels {
+
+  @inline def toLongArray(a: ArrayData): Array[Long] = a.toLongArray()
+  @inline def longs(a: Array[Long]): ArrayData = new GenericArrayData(a)
+
+  def captionShingles(text: UTF8String, k: Int): ArrayData =
+    longs(Shingles.charShingles(text.toString, k))
+
+  def tokenNgrams(text: UTF8String, n: Int): ArrayData =
+    longs(Shingles.tokenNgrams(text.toString, n))
+
+  def phashBitgrams(phash: Long, gram: Int, step: Int): ArrayData =
+    longs(Shingles.phashBitgrams(phash, gram, step))
+
+  def concatLongs(a: ArrayData, b: ArrayData): ArrayData = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    val out = new Array[Long](x.length + y.length)
+    System.arraycopy(x, 0, out, 0, x.length)
+    System.arraycopy(y, 0, out, x.length, y.length)
+    longs(out)
+  }
+
+  def simhash64(features: ArrayData): Long = SimHash.simhash64(features.toLongArray())
+
+  def bottomK(features: ArrayData, s: Int): ArrayData =
+    longs(MinHash.bottomK(features.toLongArray(), s))
+
+  def jaccardSorted(a: ArrayData, b: ArrayData, s: Int): Double =
+    MinHash.jaccardBottomK(a.toLongArray(), b.toLongArray(), s)
+
+  def containmentSorted(a: ArrayData, b: ArrayData, s: Int): Double =
+    MinHash.containmentBottomK(a.toLongArray(), b.toLongArray(), s)
+
+  def sigJaccard(a: ArrayData, b: ArrayData): Double =
+    MinHash.sigJaccard(a.toLongArray(), b.toLongArray())
+
+  def mashDist(j: Double, k: Int): Double = MinHash.mashDistance(j, k)
+
+  def cardinalityBottomK(a: ArrayData): Double = MinHash.cardinalityBottomK(a.toLongArray())
+
+  def minimizers(features: ArrayData, w: Int): ArrayData =
+    longs(Minimizers.minimizers(features.toLongArray(), w))
+
+  /** exact token n-gram jaccard of two strings (the LSH confirm kernel). */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = Shingles.tokenNgrams(a.toString, n)
+    val sb = Shingles.tokenNgrams(b.toString, n)
+    exactJaccardSorted(sa, sb)
+  }
+
+  /** exact char k-shingle jaccard. */
+  def charShingleJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val sa = Shingles.charShingles(a.toString, k)
+    val sb = Shingles.charShingles(b.toString, k)
+    exactJaccardSorted(sa, sb)
+  }
+
+  /** exact jaccard of two unsigned-sorted distinct arrays (full walk, no
+    * sketch-size bound). */
+  def exactJaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    var i = 0; var j = 0; var common = 0
+    while (i < a.length && j < b.length) {
+      if (graft.hash.HashKernels.unsignedLess(a(i), b(j))) i += 1
+      else if (graft.hash.HashKernels.unsignedLess(b(j), a(i))) j += 1
+      else { common += 1; i += 1; j += 1 }
+    }
+    common.toDouble / (a.length + b.length - common)
+  }
+
+  def lcsLen(a: UTF8String, b: UTF8String): Int =
+    SuffixArrays.longestCommonSubstring(a.toString, b.toString)
+
+  def lcsConfirm(a: UTF8String, b: UTF8String, frac: Double, minAbs: Int): Boolean =
+    SuffixArrays.lcsConfirm(a.toString, b.toString, frac, minAbs)
+
+  // ---- HLL scalars ----
+
+  def hllFromFeatures(features: ArrayData, np: Int): Array[Byte] = {
+    val regs = Hll.init(np)
+    val xs = features.toLongArray()
+    var i = 0
+    while (i < xs.length) { Hll.add(regs, xs(i), np); i += 1 }
+    regs
+  }
+
+  @inline private def npOf(regs: Array[Byte]): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(regs.length.toLong)
+
+  def hllCard(regs: Array[Byte]): Double = Hll.estimate(regs, npOf(regs))
+
+  def hllJaccard(a: Array[Byte], b: Array[Byte]): Double = Hll.jaccardMle(a, b, npOf(a))
+
+  def hllMergeScalar(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = a.clone()
+    Hll.mergeInto(out, b)
+    out
+  }
+}

@@ -1,0 +1,349 @@
+package graft.spark.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sketch.{MinHash, OrderMinHash, Cws}
+
+/** Catalyst expressions for the sketch family. Hot-path expressions emit a
+  * single static call into [[Kernels]] from `doGenCode`, staying inside
+  * whole-stage codegen (SURVEY.md §4.2). Cold-path ones (OMH, CWS) use
+  * `CodegenFallback` — they run once per row in narrow stages off the join
+  * hot loop.
+  */
+trait KernelCall { self: Expression =>
+  override val nullIntolerant: Boolean = true
+  protected def kernelsRef = "graft.spark.expr.Kernels"
+}
+
+case class CaptionShingles(child: Expression, k: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "caption_shingles"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.captionShingles(t.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.captionShingles($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class TokenNgrams(child: Expression, n: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.tokenNgrams(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.tokenNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class PhashBitgrams(child: Expression, gram: Int, step: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "phash_bitgrams"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.phashBitgrams(t.asInstanceOf[Long], gram, step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.phashBitgrams($c, $gram, $step)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 128-permutation MinHash signature. Permutation seeds are derived once on
+  * the driver (splitmix64 stream) and shipped inside the expression — the
+  * Spark-native analog of the reference's batched per-k-mer hashing
+  * (`/root/reference/src/MinHash.cpp:465-746`). */
+case class MinHashSigExpr(child: Expression, numPerm: Int, seed: Long)
+    extends UnaryExpression with KernelCall {
+  @transient private lazy val seeds: Array[Long] = MinHash.permSeeds(numPerm, seed)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  protected override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(MinHash.minhashSig(t.asInstanceOf[ArrayData].toLongArray(), seeds))
+  def compute(features: ArrayData): ArrayData =
+    new GenericArrayData(MinHash.minhashSig(features.toLongArray(), seeds))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigExpr", this, classOf[MinHashSigExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.simhash64(t.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class BottomKExpr(child: Expression, s: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bottomk_sketch"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.bottomK(t.asInstanceOf[ArrayData], s)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.bottomK($c, $s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** LSH band keys over a k-perm signature (`bands` hashes of `rows` slots). */
+case class BandKeysExpr(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_keys"
+  protected override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(MinHash.bandKeys(t.asInstanceOf[ArrayData].toLongArray(), bands, rows))
+  def compute(sig: ArrayData): ArrayData =
+    new GenericArrayData(MinHash.bandKeys(sig.toLongArray(), bands, rows))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandKeysExpr", this, classOf[BandKeysExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SigJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_jaccard"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sigJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.sigJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Reference bottom-k jaccard (early-stop union walk,
+  * `/root/reference/src/MinHash.cpp:937-1055`). */
+case class SketchJaccard(left: Expression, right: Expression, sketchSize: Int)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sketch_jaccard"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], sketchSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.jaccardSorted($a, $b, $sketchSize)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class SketchContainment(left: Expression, right: Expression, sketchSize: Int)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sketch_containment"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.containmentSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], sketchSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.containmentSorted($a, $b, $sketchSize)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Mash distance −ln(2J/(1+J))/k (`/root/reference/src/MinHash.cpp:1057-1085`). */
+case class MashDist(child: Expression, kmerSize: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "mash_dist"
+  protected override def nullSafeEval(j: Any): Any =
+    Kernels.mashDist(j.asInstanceOf[Double], kmerSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.mashDist($c, $kmerSize)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SketchCardinality(child: Expression)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sketch_cardinality"
+  protected override def nullSafeEval(a: Any): Any =
+    Kernels.cardinalityBottomK(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.cardinalityBottomK($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class MinimizersExpr(child: Expression, w: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minimizers"
+  protected override def nullSafeEval(a: Any): Any =
+    Kernels.minimizers(a.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.minimizers($c, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** exact token n-gram jaccard — the pair-confirm kernel after the LSH join. */
+case class NgramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.ngramJaccard($a, $b, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class CharShingleJaccard(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_shingle_jaccard"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.charShingleJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.charShingleJaccard($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** suffix-array longest-common-substring length (north_star confirm pass). */
+case class LcsLen(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lcs_len"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.lcsLen(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.lcsLen($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+// ---- HLL scalars ----
+
+case class HllFromFeatures(child: Expression, np: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_init"
+  protected override def nullSafeEval(a: Any): Any =
+    Kernels.hllFromFeatures(a.asInstanceOf[ArrayData], np)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.hllFromFeatures($c, $np)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class HllCard(child: Expression)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hll_card"
+  protected override def nullSafeEval(a: Any): Any =
+    Kernels.hllCard(a.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.hllCard($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ERTL joint-MLE jaccard (`/root/reference/src/HyperLogLog.cpp:513-522`). */
+case class HllJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hll_jaccard"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.hllJaccard(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.hllJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class HllMergeScalar(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_merge2"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.hllMergeScalar(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.hllMergeScalar($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+// ---- cold-path (CodegenFallback) expressions ----
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+
+/** OrderMinHash sketch over a string (`/root/reference/src/OrderMinHash.cpp:95-420`). */
+case class OmhSketchExpr(child: Expression, k: Int, l: Int, m: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "omh_sketch"
+  protected override def nullSafeEval(t: Any): Any = {
+    val bytes = t.asInstanceOf[UTF8String].getBytes
+    new GenericArrayData(OrderMinHash.sketch(bytes, k, l, m, seed).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** block-match fraction (`/root/reference/src/OrderMinHash.cpp:443-458`). */
+case class OmhSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "omh_similarity"
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val ba = a.asInstanceOf[ArrayData].toArray[Array[Byte]](BinaryType)
+    val bb = b.asInstanceOf[ArrayData].toArray[Array[Byte]](BinaryType)
+    OrderMinHash.similarity(ba, bb)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** CWS/HistoSketch over a feature multiset: features are jump-hashed into
+  * `numBins` spectrum bins then consistent-weighted-sampled into `sketchSize`
+  * (slot, weight) pairs (`/root/reference/src/histoSketch.cpp:229-357`).
+  * CWS draws are derived deterministically per (sketchSize, numBins, seed)
+  * and cached per executor. */
+case class CwsSketchExpr(child: Expression, sketchSize: Int, numBins: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("slots", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("weights", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def prettyName: String = "cws_sketch"
+  @transient private lazy val draws = CwsSketchExpr.drawsFor(sketchSize, numBins, seed)
+  protected override def nullSafeEval(t: Any): Any = {
+    val features = t.asInstanceOf[ArrayData].toLongArray()
+    val spectrum = graft.sketch.Minimizers.kmerSpectrum(features, numBins)
+    val (slots, weights) = Cws.cwsSketch(spectrum.iterator, draws)
+    InternalRow(new GenericArrayData(slots), new GenericArrayData(weights))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CwsSketchExpr {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Cws.Draws]()
+  def drawsFor(s: Int, dim: Int, seed: Long): Cws.Draws =
+    cache.computeIfAbsent((s, dim, seed), { case (a, b, c) => Cws.genDraws(a, b, c) })
+}
+
+/** positionwise weighted jaccard of two CWS sketches
+  * (`/root/reference/src/WeightedMinHash.cpp:58-109`). */
+case class WeightedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "weighted_jaccard"
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val ra = a.asInstanceOf[InternalRow]
+    val rb = b.asInstanceOf[InternalRow]
+    Cws.weightedJaccard(
+      ra.getArray(0).toIntArray(), ra.getArray(1).toDoubleArray(),
+      rb.getArray(0).toIntArray(), rb.getArray(1).toDoubleArray())
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,102 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.udaf
+import graft.spark.expr._
+
+/** Public column-function surface of the engine — the Spark-native analog of
+  * the reference's pybind11 module (`/root/reference/src/pybind.h:27-83`).
+  * All functions are Catalyst expressions (codegen'd on the hot path), never
+  * Scala closures/UDFs.
+  */
+object functions {
+
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def e(col: Column): Expression = Bridge.expression(col)
+
+  // feature extraction
+  def caption_shingles(text: Column, k: Int): Column = c(CaptionShingles(e(text), k))
+  def token_ngrams(text: Column, n: Int): Column = c(TokenNgrams(e(text), n))
+  def phash_bitgrams(phash: Column, gram: Int = 16, step: Int = 4): Column =
+    c(PhashBitgrams(e(phash), gram, step))
+  def minimizers(features: Column, w: Int): Column = c(MinimizersExpr(e(features), w))
+
+  // signatures
+  def minhash_sig(features: Column, numPerm: Int = 128, seed: Long = 42L): Column =
+    c(MinHashSigExpr(e(features), numPerm, seed))
+  def bottomk_sketch(features: Column, s: Int = 1000): Column = c(BottomKExpr(e(features), s))
+  def simhash64(features: Column): Column = c(SimHash64Expr(e(features)))
+  def omh_sketch(text: Column, k: Int = 4, l: Int = 2, m: Int = 64, seed: Long = 32L): Column =
+    c(OmhSketchExpr(e(text), k, l, m, seed))
+  def cws_sketch(features: Column, sketchSize: Int = 50, numBins: Int = 4096, seed: Long = 1L): Column =
+    c(CwsSketchExpr(e(features), sketchSize, numBins, seed))
+  def hll_init(features: Column, np: Int = 12): Column = c(HllFromFeatures(e(features), np))
+
+  // LSH
+  def band_keys(sig: Column, bands: Int, rows: Int): Column = c(BandKeysExpr(e(sig), bands, rows))
+
+  // estimators
+  def sig_jaccard(a: Column, b: Column): Column = c(SigJaccard(e(a), e(b)))
+  def sketch_jaccard(a: Column, b: Column, sketchSize: Int = 1000): Column =
+    c(SketchJaccard(e(a), e(b), sketchSize))
+  def sketch_containment(a: Column, b: Column, sketchSize: Int = 1000): Column =
+    c(SketchContainment(e(a), e(b), sketchSize))
+  def mash_dist(jaccard: Column, kmerSize: Int = 21): Column = c(MashDist(e(jaccard), kmerSize))
+  def sketch_cardinality(sorted: Column): Column = c(SketchCardinality(e(sorted)))
+  def ngram_jaccard(a: Column, b: Column, n: Int = 1): Column = c(NgramJaccard(e(a), e(b), n))
+  def char_shingle_jaccard(a: Column, b: Column, k: Int = 5): Column =
+    c(CharShingleJaccard(e(a), e(b), k))
+  def lcs_len(a: Column, b: Column): Column = c(LcsLen(e(a), e(b)))
+  def omh_similarity(a: Column, b: Column): Column = c(OmhSimilarity(e(a), e(b)))
+  def weighted_jaccard(a: Column, b: Column): Column = c(WeightedJaccard(e(a), e(b)))
+  def hll_card(regs: Column): Column = c(HllCard(e(regs)))
+  def hll_jaccard(a: Column, b: Column): Column = c(HllJaccard(e(a), e(b)))
+  def hll_merge2(a: Column, b: Column): Column = c(HllMergeScalar(e(a), e(b)))
+
+  // aggregates (partial+final via Aggregator)
+  def minhash_merge(sketch: Column, s: Int = 1000): Column =
+    udaf(new Aggs.MinHashMergeAgg(s)).apply(sketch)
+  def sig_merge(sig: Column, numPerm: Int = 128): Column =
+    udaf(new Aggs.SigMergeAgg(numPerm)).apply(sig)
+  def hll_agg(hash: Column, np: Int = 12): Column =
+    udaf(new Aggs.HllAgg(np), org.apache.spark.sql.Encoders.LONG).apply(hash)
+  def hll_union(regs: Column, np: Int = 12): Column =
+    udaf(new Aggs.HllUnionAgg(np), org.apache.spark.sql.Encoders.BINARY).apply(regs)
+
+  /** Register the scalar expressions for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def lit(ex: Expression): Any = ex.eval(null)
+    def intArg(ex: Expression): Int = lit(ex).asInstanceOf[Number].intValue()
+    def longArg(ex: Expression): Long = lit(ex).asInstanceOf[Number].longValue()
+    reg.createOrReplaceTempFunction("caption_shingles",
+      xs => CaptionShingles(xs.head, intArg(xs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("token_ngrams",
+      xs => TokenNgrams(xs.head, intArg(xs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("phash_bitgrams",
+      xs => PhashBitgrams(xs.head, intArg(xs(1)), intArg(xs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      xs => MinHashSigExpr(xs.head, intArg(xs(1)), longArg(xs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("bottomk_sketch",
+      xs => BottomKExpr(xs.head, intArg(xs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", xs => SimHash64Expr(xs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("band_keys",
+      xs => BandKeysExpr(xs.head, intArg(xs(1)), intArg(xs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("sig_jaccard",
+      xs => SigJaccard(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sketch_jaccard",
+      xs => SketchJaccard(xs.head, xs(1), intArg(xs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("mash_dist",
+      xs => MashDist(xs.head, intArg(xs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_jaccard",
+      xs => NgramJaccard(xs.head, xs(1), intArg(xs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("lcs_len", xs => LcsLen(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("omh_similarity",
+      xs => OmhSimilarity(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hll_card", xs => HllCard(xs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hll_jaccard",
+      xs => HllJaccard(xs.head, xs(1)), "scala_udf")
+  }
+}
