@@ -59,9 +59,12 @@ object SyntheticImages {
         val d = math.hypot(x - cx, y - cy)
         val v = 128 + 100 * math.sin(d * fr * math.Pi + phase)
         val noise = ((g.nextLong() >>> 58).toInt - 32) / 4 // ±8
+        // low-chroma palette: ImageIO's JPEG writer subsamples chroma 4:2:0,
+        // so strong per-pixel chroma would cap PSNR near 30 dB; the
+        // input_hint invariant demands >= 40 dB for lossy rows
         val r = clamp255(v.toInt + noise)
-        val gg = clamp255((v * 0.8).toInt + noise)
-        val b = clamp255((255 - v).toInt + noise)
+        val gg = clamp255((v * 0.85).toInt + noise)
+        val b = clamp255((v * 0.7).toInt + 30 + noise)
         px(y * Size + x) = (r << 16) | (gg << 8) | b
         x += 1
       }
@@ -148,7 +151,7 @@ object SyntheticImages {
       writer.setOutput(ios)
       val p = writer.getDefaultWriteParam
       p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-      p.setCompressionQuality(0.95f)
+      p.setCompressionQuality(0.97f)
       writer.write(null, new IIOImage(img, null, null), p)
       writer.dispose()
       ios.close()

@@ -95,7 +95,25 @@ object functions {
     reg.createOrReplaceTempFunction("lcs_len", xs => LcsLen(xs.head, xs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("omh_similarity",
       xs => OmhSimilarity(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hll_init",
+      xs => HllFromFeatures(xs.head, intArg(xs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("hll_card", xs => HllCard(xs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hll_merge2",
+      xs => HllMergeScalar(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sketch_containment",
+      xs => SketchContainment(xs.head, xs(1), intArg(xs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("sketch_cardinality",
+      xs => SketchCardinality(xs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("char_shingle_jaccard",
+      xs => CharShingleJaccard(xs.head, xs(1), intArg(xs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("minimizers",
+      xs => MinimizersExpr(xs.head, intArg(xs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("omh_sketch",
+      xs => OmhSketchExpr(xs.head, intArg(xs(1)), intArg(xs(2)), intArg(xs(3)), longArg(xs(4))), "scala_udf")
+    reg.createOrReplaceTempFunction("cws_sketch",
+      xs => CwsSketchExpr(xs.head, intArg(xs(1)), intArg(xs(2)), longArg(xs(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("weighted_jaccard",
+      xs => WeightedJaccard(xs.head, xs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hll_jaccard",
       xs => HllJaccard(xs.head, xs(1)), "scala_udf")
   }
