@@ -3,6 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.data.SyntheticImages
+import graft.docs.DocOps
+import graft.embed.Ann
+import graft.multimodal.Decode
 import graft.pipeline.Dedup
 import graft.spark.{functions => gf}
 
@@ -71,8 +74,89 @@ object SparkEntry {
       val c = corpus(s, dir)
       Dedup.partitionMetrics(
         Dedup.clusters(Dedup.dupPairs(c), c.select("image_id")))
-    })
+    }),
+
+    // ---- document (text) pipeline ops ----
+    "doc_exact_dups" -> ((s, dir) =>
+      DocOps.exactDupGroups(docs(s, dir)).orderBy("doc_id")),
+
+    "doc_ngram_dup_pairs" -> ((s, dir) =>
+      DocOps.ngramDupPairsExact(docs(s, dir), 3, 0.6).orderBy("id_a", "id_b")),
+
+    "doc_minhash_dup_pairs" -> ((s, dir) =>
+      DocOps.minhashDupPairs(docs(s, dir), 3, 0.6).orderBy("id_a", "id_b")),
+
+    "doc_simhash_dup_pairs" -> ((s, dir) =>
+      DocOps.simhashDupPairs(docs(s, dir), 3, 3).orderBy("id_a", "id_b")),
+
+    "doc_stats" -> ((s, dir) => DocOps.docStats(docs(s, dir)).orderBy("doc_id")),
+
+    "doc_token_counts" -> ((s, dir) =>
+      DocOps.tokenCounts(docs(s, dir)).select("doc_id", "ws_tokens").orderBy("doc_id")),
+
+    "doc_tokenize" -> ((s, dir) => DocOps.tokenCounts(docs(s, dir)).orderBy("doc_id")),
+
+    "doc_lang_id" -> ((s, dir) => DocOps.langId(docs(s, dir)).orderBy("doc_id")),
+
+    "doc_fingerprints" -> ((s, dir) =>
+      DocOps.fingerprints(docs(s, dir)).orderBy("doc_id", "fp")),
+
+    "doc_distinct_tokens_by_source" -> ((s, dir) =>
+      DocOps.distinctTokensBySource(docs(s, dir)).orderBy("source")),
+
+    "doc_hll_tokens_by_source" -> ((s, dir) =>
+      DocOps.hllTokensBySource(docs(s, dir)).orderBy("source")),
+
+    // sketch-estimator showcase on near-dup candidate pairs (estimates →
+    // rows-only): bottom-k jaccard + mash distance + containment + OMH +
+    // CWS weighted jaccard + per-doc HLL jaccard, one row per candidate pair
+    "doc_sketch_estimates" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sk = d.select(col("doc_id"), col("text"),
+        gf.bottomk_sketch(gf.caption_shingles(col("text"), 8), 256).as("bk"),
+        gf.omh_sketch(col("text"), 4, 2, 64, 32L).as("omh"),
+        gf.cws_sketch(gf.caption_shingles(col("text"), 8), 50, 4096, 1L).as("cws"),
+        gf.hll_init(gf.caption_shingles(col("text"), 8), 12).as("hll"))
+      val pairs = DocOps.ngramDupPairsExact(d, 3, 0.6)
+      pairs
+        .join(sk.select(col("doc_id").as("id_a"), col("bk").as("bk_a"), col("omh").as("omh_a"),
+          col("cws").as("cws_a"), col("hll").as("hll_a")), "id_a")
+        .join(sk.select(col("doc_id").as("id_b"), col("bk").as("bk_b"), col("omh").as("omh_b"),
+          col("cws").as("cws_b"), col("hll").as("hll_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          gf.sketch_jaccard(col("bk_a"), col("bk_b"), 256).as("bk_jaccard"),
+          gf.mash_dist(gf.sketch_jaccard(col("bk_a"), col("bk_b"), 256), 8).as("mash_dist"),
+          gf.sketch_containment(col("bk_a"), col("bk_b"), 256).as("containment"),
+          gf.omh_similarity(col("omh_a"), col("omh_b")).as("omh_sim"),
+          gf.weighted_jaccard(col("cws_a"), col("cws_b")).as("wjaccard"),
+          gf.hll_jaccard(col("hll_a"), col("hll_b")).as("hll_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- embedding similarity search ----
+    "embed_knn" -> ((s, dir) =>
+      Ann.cosineTopK(embeds(s, dir), 10).orderBy("query_id", "rank")),
+
+    "embed_dup_pairs" -> ((s, dir) =>
+      Ann.cosineDupPairs(embeds(s, dir), 0.4).orderBy("id_a", "id_b")),
+
+    "embed_knn_lsh" -> ((s, dir) =>
+      Ann.hyperplaneLshTopK(embeds(s, dir), 10).orderBy("query_id", "rank")),
+
+    "embed_knn_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(embeds(s, dir), 10).orderBy("query_id", "rank")),
+
+    // ---- multimodal decode plumbing (real image decode) ----
+    "img_decode_meta" -> ((s, dir) =>
+      Decode.imageMeta(corpus(s, dir)).toDF()
+        .select("image_id", "w_dec", "h_dec").orderBy("image_id"))
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    tuned(s).read.parquet(s"$dir/documents.parquet")
+
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    tuned(s).read.parquet(s"$dir/embeddings.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -133,7 +217,87 @@ object SparkEntry {
            |),
            |cl AS (SELECT id AS image_id, min(r) AS cluster_id FROM reach GROUP BY id)
            |SELECT cluster_id, count(*) AS n FROM cl GROUP BY cluster_id
-           |HAVING count(*) > 1 ORDER BY cluster_id""".stripMargin
+           |HAVING count(*) > 1 ORDER BY cluster_id""".stripMargin,
+
+      "doc_exact_dups" ->
+        s"""WITH k AS (SELECT doc_id, md5(text) AS k FROM $docsT),
+           |g AS (SELECT k, min(doc_id) AS canon_id, count(*) AS group_n FROM k GROUP BY k)
+           |SELECT doc_id, canon_id, group_n FROM k JOIN g USING (k) ORDER BY doc_id""".stripMargin,
+
+      "doc_ngram_dup_pairs" -> docNgramPairsSql,
+
+      "doc_stats" ->
+        s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM $docsT),
+           |s AS (SELECT doc_id,
+           |  length(text)::BIGINT AS chars,
+           |  len(toks)::BIGINT AS n_tokens,
+           |  len(list_distinct(toks))::BIGINT AS n_distinct,
+           |  list_sum(list_transform(toks, tk -> length(tk)))::BIGINT AS token_chars,
+           |  len(list_filter(toks, tk ->
+           |    list_contains(['the','a','and','of','to','in'], tk)))::BIGINT AS n_stop
+           |  FROM t)
+           |SELECT doc_id, chars, n_tokens, n_distinct, token_chars, n_stop,
+           |  token_chars / n_tokens AS avg_token_len,
+           |  n_distinct / n_tokens AS distinct_ratio,
+           |  n_stop / n_tokens AS stopword_ratio,
+           |  least(n_tokens / 64.0, 1.0) * 0.5 + (n_distinct / n_tokens) * 0.3
+           |    + (n_stop / n_tokens) * 0.2 AS quality
+           |FROM s ORDER BY doc_id""".stripMargin,
+
+      "doc_token_counts" ->
+        s"""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens
+           |FROM $docsT ORDER BY doc_id""".stripMargin,
+
+      "doc_distinct_tokens_by_source" ->
+        s"""SELECT source, count(DISTINCT tk) AS n_distinct_tokens
+           |FROM (SELECT source, unnest(list_distinct(string_split(text, ' '))) AS tk
+           |      FROM $docsT)
+           |GROUP BY source ORDER BY source""".stripMargin,
+
+      "embed_knn" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embT),
+           |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |        round(list_dot_product(q.v, e.v) /
+           |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+           |      FROM e q JOIN e ON e.vec_id != q.vec_id),
+           |r AS (SELECT query_id, neighbor_id, sim,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           |      FROM s)
+           |SELECT query_id, neighbor_id, rank::INT AS rank, sim FROM r
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      "embed_dup_pairs" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embT)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(list_dot_product(a.v, b.v) /
+           |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |WHERE round(list_dot_product(a.v, b.v) /
+           |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "img_decode_meta" ->
+        s"""SELECT image_id, w AS w_dec, h AS h_dec FROM $t ORDER BY image_id""".stripMargin
     )
   }
+
+  private def docsT = "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+  private def embT = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+
+  /** exact 3-gram jaccard pairs — same inverted-index formulation as the
+    * Spark plan (hash-free on the DuckDB side: string grams). */
+  private def docNgramPairsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $docsT),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+       |      FROM t WHERE len(toks) >= 3),
+       |c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b FROM i
+       |JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+       |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
 }

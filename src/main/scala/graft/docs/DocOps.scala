@@ -1,0 +1,176 @@
+package graft.docs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.spark.{functions => gf}
+
+/** Training-data pipeline operators over a `documents(doc_id, text, lang,
+  * source, n_chars)` table — the text-side counterparts of the image dedup
+  * pipeline, built from the same sketch algebra.
+  *
+  * Scale design: exact dedup groups on `md5(text)` (fixed 16-byte shuffle
+  * key, not the full document); near-dup detection uses an inverted shingle
+  * index join (exact) or banded MinHash LSH (sub-quadratic candidate
+  * generation); SimHash block keys give an exact-cover channel for
+  * Hamming ≤ blocks−1. All joins shuffle on short keys; AQE skew-join
+  * handles hot shingles.
+  */
+object DocOps {
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** exact duplicate grouping: canon_id = min doc_id with identical text. */
+  def exactDupGroups(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("k"))
+    val groups = keyed.groupBy("k")
+      .agg(min("doc_id").as("canon_id"), count(lit(1)).as("group_n"))
+    keyed.join(groups, "k").select("doc_id", "canon_id", "group_n")
+  }
+
+  /** exact token n-gram jaccard pairs via inverted shingle index —
+    * the scalable exact algorithm (shuffle on shingle hash, then on pair).
+    * `maxDf` drops shingles occurring in more than maxDf docs (stopword
+    * shingles explode the join); pass Int.MaxValue for provably-exact. */
+  def ngramDupPairsExact(docs: DataFrame, n: Int = 3, tau: Double = 0.6,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val grams0 = docs.select(col("doc_id"), explode(gf.token_ngrams(col("text"), n)).as("g"))
+    val grams =
+      if (maxDf == Int.MaxValue) grams0
+      else {
+        val df = grams0.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
+        grams0.join(df.select("g"), "g")
+      }
+    val cnt = docs.select(col("doc_id"), size(gf.token_ngrams(col("text"), n)).as("nsh"))
+    val inter = grams.select(col("doc_id").as("id_a"), col("g"))
+      .join(grams.select(col("doc_id").as("id_b"), col("g")), "g")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(cnt.select(col("doc_id").as("id_a"), col("nsh").as("na")), "id_a")
+      .join(cnt.select(col("doc_id").as("id_b"), col("nsh").as("nb")), "id_b")
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .where(col("jaccard") >= tau)
+      .select("id_a", "id_b")
+  }
+
+  /** banded MinHash LSH near-dup pairs + exact n-gram jaccard confirm.
+    * Sub-quadratic candidate generation; recall vs the exact pairs is a
+    * tested property (≥ 0.99 at default bands). */
+  def minhashDupPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.6,
+      numPerm: Int = 128, bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      gf.minhash_sig(gf.token_ngrams(col("text"), n), numPerm, 42L).as("sig"))
+    val keyed = sigs.select(col("doc_id"),
+      posexplode(gf.band_keys(col("sig"), bands, rowsPerBand)).as(Seq("bi", "bv")))
+    val cand = keyed.select(col("bi"), col("bv"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("bi"), col("bv"), col("doc_id").as("id_b")), Seq("bi", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.toDF("id_a", "text_a"), "id_a")
+      .join(texts.toDF("id_b", "text_b"), "id_b")
+      .where(gf.ngram_jaccard(col("text_a"), col("text_b"), n) >= tau)
+      .select("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs: 64-bit SimHash over token n-grams, pigeonhole
+    * block join (exact cover of Hamming ≤ blocks−1), Hamming filter. */
+  def simhashDupPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val sigs = docs.select(col("doc_id"),
+      gf.simhash64(gf.token_ngrams(col("text"), n)).as("sh"))
+    val width = 64 / blocks
+    val keyed = sigs.withColumn("blk", explode(array((0 until blocks).map { i =>
+        struct(lit(i).as("bi"),
+          shiftright(col("sh"), i * width).bitwiseAND(lit((1L << width) - 1)).as("bv"))
+      }: _*)))
+      .select(col("doc_id"), col("sh"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+    keyed.select(col("bi"), col("bv"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(keyed.select(col("bi"), col("bv"), col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("bi", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** stopword list used by the quality heuristics (must stay in sync with
+    * the oracle SQL). */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** per-document exact statistics + deterministic quality score — every
+    * column derives from integer counts so the DuckDB oracle reproduces the
+    * doubles bit-for-bit. */
+  def docStats(docs: DataFrame): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+          .cast("long").as("token_chars"),
+        size(filter(toks, t => array_contains(sw, t))).cast("long").as("n_stop"))
+      .withColumn("avg_token_len", col("token_chars") / col("n_tokens"))
+      .withColumn("distinct_ratio", col("n_distinct") / col("n_tokens"))
+      .withColumn("stopword_ratio", col("n_stop") / col("n_tokens"))
+      .withColumn("quality",
+        least(col("n_tokens") / lit(64.0), lit(1.0)) * lit(0.5)
+          + col("distinct_ratio") * lit(0.3)
+          + col("stopword_ratio") * lit(0.2))
+  }
+
+  /** whitespace + BPE-ish regex token counts. The regex pass approximates
+    * byte-pair-style subword splitting (runs of letters / digits / other). */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("ws_tokens"),
+      size(split(col("text"), "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|\\s+|(?=[^a-z0-9\\s])"))
+        .cast("long").as("bpe_ish_tokens"))
+  }
+
+  /** language-ID heuristic: stopword-profile voting over a small per-language
+    * marker list, falling back to charset class, else "und". Real-world
+    * behavior is exercised in DocOpsSpec with natural-language samples; the
+    * synthetic corpus mostly yields "und". */
+  def langId(docs: DataFrame): DataFrame = {
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+      "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est"),
+      "es" -> Seq("el", "la", "los", "y", "de", "que", "es", "un"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "von"))
+    val t = toks
+    val scores = profiles.map { case (lang, words) =>
+      struct(size(filter(t, x => array_contains(array(words.map(lit): _*), lower(x))))
+        .as("score"), lit(lang).as("lang"))
+    }.toSeq
+    docs.select(col("doc_id"),
+        greatest(scores: _*).as("best"),
+        col("text").rlike("[\\u4e00-\\u9fff]").as("has_cjk"))
+      .withColumn("lang_pred",
+        when(col("has_cjk"), lit("zh"))
+          .when(col("best.score") >= 2, col("best.lang"))
+          .otherwise(lit("und")))
+      .select("doc_id", "lang_pred")
+  }
+
+  /** winnowing document fingerprints: minimizers (window `w`) over char
+    * `k`-shingle hashes — the rolling-hash fingerprint family. */
+  def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame =
+    docs.select(col("doc_id"),
+      explode(gf.minimizers(gf.caption_shingles(col("text"), k), w)).as("fp"))
+
+  /** exact + HLL distinct-token counts per source. */
+  def distinctTokensBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(array_distinct(toks)).as("t"))
+      .groupBy("source").agg(countDistinct(col("t")).as("n_distinct_tokens"))
+
+  def hllTokensBySource(docs: DataFrame, np: Int = 14): DataFrame =
+    docs.select(col("source"), explode(array_distinct(toks)).as("t"))
+      .groupBy("source")
+      .agg(gf.hll_card(gf.hll_agg(xxhash64(col("t")), np)).as("est_distinct_tokens"))
+}

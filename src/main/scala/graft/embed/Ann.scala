@@ -1,0 +1,165 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`embeddings(vec_id,
+  * embedding float[], label)`).
+  *
+  *  - [[cosineTopK]] — exact brute-force top-k by cosine, the correctness
+  *    baseline: broadcast the (sampled) query set against the full table;
+  *    dot products run inside whole-stage codegen via `zip_with` +
+  *    `aggregate` (no UDF), ranking via a window per query.
+  *  - [[hyperplaneLshTopK]] — the scale path: random-hyperplane sign
+  *    buckets (multi-table) restrict candidates to colliding vectors before
+  *    exact re-scoring; recall vs brute force is a tested property.
+  *
+  * All math in double (`float` input upcast) with left-to-right summation
+  * so the DuckDB oracle (`list_cosine_similarity` on `DOUBLE[]`) reproduces
+  * the scores.
+  */
+object Ann {
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** cosine similarity of two double arrays (codegen-friendly builtins). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** exact top-k neighbors for every query row (`queryFilter` samples the
+    * query side — at scale you never brute-force every row). Output:
+    * (query_id, neighbor_id, rank, sim) with sim rounded to 1e-6 so
+    * cross-engine float noise cannot flip ranks (ties break by id). */
+  def cosineTopK(emb: DataFrame, k: Int = 10, queryFilter: Column = lit(true)): DataFrame = {
+    val base = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val queries = base.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = base.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** all pairs with cosine ≥ tau (exact; brute force over the broadcast
+    * smaller side — at scale swap in the LSH candidate channel). */
+  def cosineDupPairs(emb: DataFrame, tau: Double): DataFrame = {
+    val base = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    base.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .crossJoin(broadcast(base.select(col("vec_id").as("id_b"), col("v").as("vb"))))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .where(col("sim") >= tau)
+  }
+
+  /** deterministic pseudo-random hyperplane component for (table, plane, dim). */
+  private def hyperplaneSignBits(v: Column, table: Int, planes: Int, dim: Int): Column = {
+    // plane p component j = ±1 from fmix64(table, p, j) — computed via
+    // Spark's xxhash64 on the literal triple (codegen'd, no broadcast needed)
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, j) =>
+          x * when(pmod(xxhash64(lit(table), lit(p), j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** IVF (inverted-file) ANN — the scale path for top-k search: a coarse
+    * quantizer (deterministically-seeded Lloyd iterations) partitions the
+    * base vectors into `centroids` lists; each query exactly re-scores only
+    * the `nprobe` nearest lists. `nprobe = centroids` degenerates to exact
+    * brute force (tested), giving a tunable recall/cost dial. Centroids are
+    * tiny (centroids × dim doubles) — computed distributed, collected, and
+    * broadcast back. */
+  def ivfTopK(emb: DataFrame, k: Int = 10, centroids: Int = 16, nprobe: Int = 4,
+      lloydIters: Int = 2, queryFilter: Column = lit(true)): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val n = base.count()
+    val stride = math.max(1L, n / centroids)
+    var cent = base.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(centroids)
+      .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+        .as("cid"), col("v").as("cvec"))
+      .localCheckpoint()
+
+    def assign(c: DataFrame): DataFrame = {
+      val scored = base.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cvec")).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("vec_id", "v", "cid")
+    }
+
+    var it = 0
+    while (it < lloydIters) {
+      val a = assign(cent)
+      val means = a.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("cvec"))
+      cent = means.localCheckpoint()
+      it += 1
+    }
+
+    val assigned = assign(cent).localCheckpoint()
+    val queries = assigned.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val qProbes = queries.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cid"), cosine(col("qv"), col("cvec")).as("csim"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
+    val probes = qProbes.withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe).select("query_id", "qv", "cid")
+    val scored = probes.join(assigned.select(col("cid"), col("vec_id").as("neighbor_id"), col("v")), "cid")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** LSH ANN: `tables` independent sign-bucket tables of `planes` bits;
+    * candidates = bucket collisions in any table; exact re-score + top-k.
+    * Effective for HIGH-similarity retrieval (near-duplicate embeddings,
+    * cos ≳ 0.9); for modest-similarity top-k on unstructured data use
+    * [[ivfTopK]] — random hyperplanes cannot beat the p=(1−θ/π)^planes
+    * collision curve there (tested in AnnSpec). */
+  def hyperplaneLshTopK(emb: DataFrame, k: Int = 10, tables: Int = 8, planes: Int = 12,
+      queryFilter: Column = lit(true)): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val base = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val keyed = base.withColumn("tk", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"), hyperplaneSignBits(col("v"), t, planes, dim).as("b"))
+      }: _*)))
+      .select(col("vec_id"), col("v"), col("tk.t").as("t"), col("tk.b").as("b"))
+    val queries = keyed.where(queryFilter)
+      .select(col("t"), col("b"), col("vec_id").as("query_id"), col("v").as("qv"))
+    val cand = keyed.select(col("t"), col("b"), col("vec_id").as("neighbor_id"), col("v"))
+      .join(queries, Seq("t", "b"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("v"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+}

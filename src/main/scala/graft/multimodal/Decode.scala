@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.data.SyntheticImages
+
+/** Multimodal column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata; decode / feature-extract stages are typed Dataset
+  * transforms over batched partitions (the Scala analog of `mapInPandas` —
+  * one JVM decode loop per partition, no per-row driver round trips).
+  *
+  * Image decode is REAL (javax.imageio handles png/jpeg in this JVM). Audio
+  * and video decoding libraries are not present in this environment, so
+  * those paths are deterministic STUBS (clearly marked) — the Spark-side
+  * plumbing (schema, batching, partition mapping) is real and tested.
+  */
+object Decode {
+
+  case class ImageMeta(image_id: String, w_dec: Int, h_dec: Int, mean_luma: Double, phash_dec: Long)
+
+  /** decode image bytes partition-wise → dimensions, mean luma, recomputed
+    * DCT pHash. Narrow stage; input pruned to (image_id, bytes). */
+  def imageMeta(images: DataFrame): Dataset[ImageMeta] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val px = SyntheticImages.decodePixels(bytes)
+          val side = math.sqrt(px.length.toDouble).toInt
+          var luma = 0.0
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            luma += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+            i += 1
+          }
+          ImageMeta(id, side, side, luma / px.length, SyntheticImages.dctPhash(px))
+        }
+      }
+  }
+
+  case class AudioMeta(id: String, n_samples: Long, sample_rate: Int, rms: Double)
+
+  /** STUB: no audio codec in this container. Deterministic fake decode —
+    * treats the payload as 16-bit PCM at 16 kHz. Replace the body with a
+    * real codec (e.g. javax.sound or ffmpeg bindings) in production; the
+    * partition-mapped plumbing and schema stay identical. */
+  def audioMetaStub(media: DataFrame, idCol: String = "id", bytesCol: String = "bytes"): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          var acc = 0.0
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toDouble
+            acc += s * s
+            i += 2
+          }
+          val n = bytes.length / 2
+          AudioMeta(id, n.toLong, 16000, if (n == 0) 0.0 else math.sqrt(acc / n))
+        }
+      }
+  }
+
+  case class FrameSample(id: String, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB: no video codec in this container. Deterministic fake frame
+    * sampler — slices the payload into `frames` equal chunks standing in
+    * for decoded keyframes. Real implementation would seek keyframes; the
+    * explode-to-frames schema and partition batching are the real contract. */
+  def videoFrameSampleStub(media: DataFrame, frames: Int = 4,
+      idCol: String = "id", bytesCol: String = "bytes"): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes.isEmpty) Iterator.empty
+        else (0 until frames).iterator.map { f =>
+          val start = (bytes.length.toLong * f / frames).toInt
+          val end = (bytes.length.toLong * (f + 1) / frames).toInt
+          FrameSample(id, f, java.util.Arrays.copyOfRange(bytes, start, end))
+        }
+      }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.docs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DocOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val docs = {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  }
+
+  test("exact dup groups: canon is min id, group sizes consistent") {
+    val rows = DocOps.exactDupGroups(docs).collect()
+    assert(rows.length === docs.count())
+    assert(rows.forall(r => r.getAs[Long]("canon_id") <= r.getAs[Long]("doc_id")))
+  }
+
+  test("minhash LSH pairs == exact ngram pairs at tau 0.6 (recall 1.0 here)") {
+    val exact = DocOps.ngramDupPairsExact(docs, 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = DocOps.minhashDupPairs(docs, 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(mh.subsetOf(exact))
+    assert(mh.intersect(exact).size.toDouble / exact.size >= 0.99)
+  }
+
+  test("simhash pairs: brute-force equivalence of the block-join channel") {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"),
+      graft.spark.functions.simhash64(graft.spark.functions.token_ngrams(col("text"), 3)).as("sh"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val got = DocOps.simhashDupPairs(docs, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+  }
+
+  test("language id: detects natural-language samples, und for noise") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the quick brown fox is happy and it runs to the forest in the morning"),
+      (2L, "le chat est dans la maison et il mange une pomme avec les enfants"),
+      (3L, "el perro es grande y la casa de los abuelos es muy bonita que si"),
+      (4L, "der hund ist gross und die katze ist nicht von der strasse ein tier"),
+      (5L, "这是 一个 中文 句子"),
+      (6L, "zxqv kjhw pqmx uvtr")).toDF("doc_id", "text")
+    val got = DocOps.langId(samples).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "fr")
+    assert(got(3L) === "es")
+    assert(got(4L) === "de")
+    assert(got(5L) === "zh")
+    assert(got(6L) === "und")
+  }
+
+  test("fingerprints: deterministic, shared between near-dup docs") {
+    val fp1 = DocOps.fingerprints(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp2 = DocOps.fingerprints(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fp1 === fp2)
+    // near-dup docs (from the exact pair list) share most fingerprints
+    val pairs = DocOps.ngramDupPairsExact(docs, 3, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fp1.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val shares = pairs.map { case (a, b) =>
+      val fa = byDoc.getOrElse(a, Set.empty)
+      val fb = byDoc.getOrElse(b, Set.empty)
+      fa.intersect(fb).size.toDouble / math.max(1, math.min(fa.size, fb.size))
+    }
+    assert(shares.nonEmpty && shares.sum / shares.length > 0.5,
+      s"avg fingerprint overlap ${shares.sum / shares.length}")
+  }
+
+  test("hll token counts within 2% of exact per source") {
+    val exact = DocOps.distinctTokensBySource(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = DocOps.hllTokensBySource(docs, 14).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((src, n) <- exact) {
+      assert(math.abs(est(src) - n) / n < 0.02, s"$src exact=$n est=${est(src)}")
+    }
+  }
+
+  test("doc_stats quality score bounded and fields consistent") {
+    val rows = DocOps.docStats(docs).collect()
+    assert(rows.forall { r =>
+      val q = r.getAs[Double]("quality")
+      q >= 0 && q <= 1.0 &&
+        r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens")
+    })
+  }
+}

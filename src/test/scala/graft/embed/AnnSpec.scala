@@ -1,0 +1,76 @@
+package graft.embed
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.hash.HashKernels.SplitMix64
+
+class AnnSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def randVec(g: SplitMix64, dim: Int): Array[Float] =
+    Array.fill(dim)((g.nextDouble() * 2 - 1).toFloat)
+
+  /** 200 random base vectors + 50 noisy near-duplicates (cos ≥ ~0.95). */
+  lazy val planted = {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val g = new SplitMix64(11)
+    val base = (0 until 200).map(i => (i.toLong, randVec(g, 64)))
+    val dups = (0 until 50).map { i =>
+      val src = base(i)._2
+      val noisy = src.map(x => x + (g.nextDouble() * 0.1 - 0.05).toFloat)
+      ((1000 + i).toLong, noisy)
+    }
+    (base ++ dups).toDF("vec_id", "embedding").cache()
+  }
+
+  test("cosineTopK: self-consistent, rank 1 neighbor of a dup is its source") {
+    val top = Ann.cosineTopK(planted, 1, col("vec_id") >= 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val correct = (0 until 50).count(i => top.get(1000L + i).contains(i.toLong))
+    assert(correct >= 49, s"only $correct/50 dups found their source as NN")
+  }
+
+  test("cosineDupPairs finds exactly the planted high-sim pairs") {
+    val pairs = Ann.cosineDupPairs(planted, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 50).map(i => (i.toLong, 1000L + i)).toSet
+    assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
+    assert((pairs -- expected).isEmpty, s"unexpected high-sim pairs: ${pairs -- expected}")
+  }
+
+  test("hyperplane LSH: recall >= 0.95 for high-sim dup retrieval") {
+    val top = Ann.hyperplaneLshTopK(planted, 1, 8, 12, col("vec_id") >= 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val correct = (0 until 50).count(i => top.get(1000L + i).contains(i.toLong))
+    assert(correct >= 48, s"LSH recall too low: $correct/50")
+  }
+
+  test("IVF: nprobe = centroids degenerates to exact brute force") {
+    val exact = Ann.cosineTopK(planted, 5, col("vec_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Ann.ivfTopK(planted, 5, 8, 8, 1, col("vec_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf === exact)
+  }
+
+  test("IVF: recall grows with nprobe") {
+    val exact = Ann.cosineTopK(planted, 10, col("vec_id") < 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(np: Int): Double = {
+      val got = Ann.ivfTopK(planted, 10, 8, np, 1, col("vec_id") < 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r2 = recall(2)
+    val r8 = recall(8)
+    assert(r8 === 1.0, s"full probe must be exact, got $r8")
+    assert(r2 > 0.15 && r2 <= r8, s"r2=$r2 r8=$r8")
+  }
+}
