@@ -1,24 +1,139 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import graft.data.SyntheticImages
+import graft.pipeline.Dedup
+
+/** Benchmark entry point (driver contract: ONE JSON line on stdout).
+  *
+  * Two measurements:
+  *  1. headline per-query wall times at `SPARK_GRAFT_CPUS` parallelism;
+  *  2. the BASELINE.md N→4N scaling protocol: the identical end-to-end
+  *     sketch→cluster pipeline on the identical input at local[8] (stands in
+  *     for N executors) and local[32] (4N), reporting images/sec at both and
+  *     scaling_efficiency = thr_4N / (4 × thr_N). Results also land in
+  *     BENCH/BASELINE.md.
+  *
+  * Corpus generation is excluded from all timings (materialized parquet,
+  * generated once up front).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private val headline = Seq(
+    "dup_pairs", "dup_pairs_minhash",
+    "doc_ngram_dup_pairs", "doc_minhash_dup_pairs", "doc_stats",
+    "embed_knn", "img_decode_meta")
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+  }
+
+  /** the end-to-end sketch→cluster job (BASELINE.json metric). */
+  private def pipelineE2E(spark: SparkSession, sfDir: String): Long = {
+    val corpus = SyntheticImages.ensure(spark, sfDir)
+    val edges = Dedup.dupPairs(corpus)
+    val clustered = Dedup.clusters(edges, corpus.select("image_id"))
+    Dedup.partitionMetrics(clustered).collect()
+    clustered.count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val skipScaling = sys.env.get("SPARK_GRAFT_SCALING").contains("0")
+
+    // generate corpus up front (excluded from timing)
+    val gen = session(32)
+    gen.sparkContext.setLogLevel("WARN")
+    val nRows = SyntheticImages.ensure(gen, sfDir).count()
+    gen.stop()
+
+    // headline queries at the driver-requested parallelism
+    val s1 = session(cpus)
+    s1.sparkContext.setLogLevel("WARN")
+    val queryTimes = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    s1.stop()
+
+    // scaling protocol: identical job, identical input, local[8] vs local[32]
+    var thrN = 0.0
+    var thr4N = 0.0
+    var eff = 0.0
+    var tN = 0.0
+    var t4N = 0.0
+    if (!skipScaling) {
+      // JIT warmup on the smallest corpus so run A isn't penalized by
+      // first-compilation of the generated code paths
+      val w = session(32)
+      w.sparkContext.setLogLevel("WARN")
+      pipelineE2E(w, "/root/testdata/sf0.001")
+      w.stop()
+
+      val s8 = session(8)
+      s8.sparkContext.setLogLevel("WARN")
+      val t0 = System.nanoTime()
+      pipelineE2E(s8, sfDir)
+      tN = (System.nanoTime() - t0) / 1e9
+      s8.stop()
+
+      val s32 = session(32)
+      s32.sparkContext.setLogLevel("WARN")
+      val t1 = System.nanoTime()
+      pipelineE2E(s32, sfDir)
+      t4N = (System.nanoTime() - t1) / 1e9
+      s32.stop()
+
+      thrN = nRows / tN
+      thr4N = nRows / t4N
+      eff = thr4N / (4.0 * thrN)
+
+      val md =
+        s"""# BENCH — measured baseline (written by graft.Bench, not by hand)
+           |
+           |Input: deterministic synthetic image+caption corpus, $nRows rows
+           |(`${SyntheticImages.corpusPath(sfDir)}`), generation excluded from timing.
+           |Job: end-to-end sketch→cluster (signatures → pHash-block LSH join →
+           |exact confirm → label-propagation clustering → per-partition HLL metrics).
+           |
+           |## N→4N scaling protocol (BASELINE.md)
+           |
+           || run | master | shuffle partitions | wall (s) | throughput (images/s) |
+           ||---|---|---|---|---|
+           || A (N) | local[8] | 8 | ${f"$tN%.2f"} | ${f"$thrN%.0f"} |
+           || B (4N) | local[32] | 32 | ${f"$t4N%.2f"} | ${f"$thr4N%.0f"} |
+           |
+           |**scaling_efficiency = thr_B / (4 × thr_A) = ${f"$eff%.3f"}** (target ≥ 0.8)
+           |
+           |## Headline query wall times (local[$cpus], sf dir $sfDir)
+           |
+           || query | seconds |
+           ||---|---|
+           |${queryTimes.map { case (k, v) => s"|| $k | ${f"$v%.2f"} |" }.mkString("\n")}
+           |""".stripMargin
+      Files.createDirectories(Paths.get("/root/repo/BENCH"))
+      Files.writeString(Paths.get("/root/repo/BENCH/BASELINE.md"), md)
+    }
+
+    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val value = if (thr4N > 0) thr4N else queryTimes.map(_._2).sum
+    val unit = if (thr4N > 0) "images/sec" else "sec"
+    println(
+      s"""{"metric":"images/sec end-to-end sketch->cluster","value":$value,"unit":"$unit","queries":$qs,"sf":"$sfDir","rows":$nRows,"scaling":{"throughput_local8":$thrN,"throughput_local32":$thr4N,"wall_local8_sec":$tN,"wall_local32_sec":$t4N,"efficiency":$eff}}""")
   }
 }
