@@ -2,6 +2,7 @@ package graft.embed
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.spark.{functions => gf}
 
 /** Similarity search over an embedding column (`embeddings(vec_id,
   * embedding float[], label)`).
@@ -30,18 +31,26 @@ object Ann {
     dot / (na * nb)
   }
 
+  /** (vec_id, v double[], norm) with the cast and norm computed once per
+    * row (not per pair) — dot products run through the codegen'd `vec_dot`
+    * kernel; the cosine formula dot/(na·nb) stays bit-identical to the
+    * DuckDB oracle. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(gf.vec_dot(col("v"), col("v"))))
+
   /** exact top-k neighbors for every query row (`queryFilter` samples the
     * query side — at scale you never brute-force every row). Output:
     * (query_id, neighbor_id, rank, sim) with sim rounded to 1e-6 so
     * cross-engine float noise cannot flip ranks (ties break by id). */
   def cosineTopK(emb: DataFrame, k: Int = 10, queryFilter: Column = lit(true)): DataFrame = {
-    val base = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val base = withNorm(emb)
     val queries = base.where(queryFilter)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = base.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(gf.vec_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -52,11 +61,12 @@ object Ann {
   /** all pairs with cosine ≥ tau (exact; brute force over the broadcast
     * smaller side — at scale swap in the LSH candidate channel). */
   def cosineDupPairs(emb: DataFrame, tau: Double): DataFrame = {
-    val base = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
-    base.select(col("vec_id").as("id_a"), col("v").as("va"))
-      .crossJoin(broadcast(base.select(col("vec_id").as("id_b"), col("v").as("vb"))))
+    val base = withNorm(emb)
+    base.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na"))
+      .crossJoin(broadcast(base.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        round(gf.vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
       .where(col("sim") >= tau)
   }
 
@@ -125,7 +135,9 @@ object Ann {
       .where(col("rn") <= nprobe).select("query_id", "qv", "cid")
     val scored = probes.join(assigned.select(col("cid"), col("vec_id").as("neighbor_id"), col("v")), "cid")
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), round(cosine(col("qv"), col("v")), 6).as("sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(gf.vec_dot(col("qv"), col("v")) /
+          (sqrt(gf.vec_dot(col("qv"), col("qv"))) * sqrt(gf.vec_dot(col("v"), col("v")))), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -155,7 +167,8 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("v"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand.select(col("query_id"), col("neighbor_id"),
-      round(cosine(col("qv"), col("v")), 6).as("sim"))
+      round(gf.vec_dot(col("qv"), col("v")) /
+        (sqrt(gf.vec_dot(col("qv"), col("qv"))) * sqrt(gf.vec_dot(col("v"), col("v")))), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

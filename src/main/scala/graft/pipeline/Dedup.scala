@@ -12,23 +12,28 @@ import graft.spark.{functions => gf}
   *
   * Two candidate channels:
   *  - [[candidatesPhashBlocks]] — pigeonhole multi-index over the 64-bit
-  *    pHash: `blocks` disjoint bit-blocks; any pair within Hamming ≤
-  *    blocks−1 shares at least one block verbatim, so for the duplicate
-  *    predicate `hamming ≤ blocks−1 AND tokenJaccard ≥ τ` the channel is an
-  *    **exact cover** (no recall loss; the confirm filter removes false
-  *    positives). This is the oracle-checkable path.
+  *    pHash: `blocks` disjoint INTERLEAVED bit-blocks; any pair within
+  *    Hamming ≤ blocks−1 shares at least one block verbatim, so for the
+  *    duplicate predicate `hamming ≤ blocks−1 AND tokenJaccard ≥ τ` the
+  *    channel is an **exact cover** (no recall loss; the confirm filter
+  *    removes false positives). Interleaving spreads correlated adjacent
+  *    pHash bits across blocks, keeping bucket sizes near-uniform.
   *  - [[candidatesMinhash]] — banded 128-perm MinHash LSH over combined
   *    pHash-bitgram + caption-shingle features; probabilistic recall ≥ 0.99
   *    at the default band config, scales to arbitrary similarity predicates.
   *
-  * Scale notes (100 TB design): every stage is a narrow map except the two
-  * self-joins (shuffle on band/block key) and the final aggregation; the
-  * input scan prunes `bytes` (signatures need only id/phash/caption);
-  * candidate pairs are deduplicated **before** the confirm join; the confirm
-  * join re-reads only (id, phash, caption); skew from hot buckets is handled
-  * by AQE skew-join plus an explicit per-bucket pair cap in the minhash
-  * channel (`maxBucket`) — oversized buckets are handled by the exact block
-  * channel, never silently dropped in the oracle path.
+  * Hot-path engineering (100 TB design):
+  *  - string image ids are converted ONCE to numeric surrogates; every
+  *    join/distinct/propagation shuffles fixed-width longs, and ids are
+  *    formatted back to strings only at the output boundary;
+  *  - caption token sets are hashed ONCE per row into a sorted array; the
+  *    per-pair confirm is a codegen'd merge walk (`exact_jaccard`), never a
+  *    re-tokenization;
+  *  - candidate pairs are `distinct`-ed before the confirm join; the
+  *    confirm join carries only (id, phash, tok);
+  *  - bucket skew is handled EXPLICITLY by salt-and-replicate
+  *    ([[saltedBucketPairs]]) plus AQE skew-join as a backstop;
+  *  - the input scan prunes `bytes` (asserted in PipelineSpec).
   */
 object Dedup {
 
@@ -42,6 +47,17 @@ object Dedup {
       seed: Long = 42L)
 
   val defaultConfig: Config = Config()
+
+  /** "img_%010d" ⇄ numeric surrogate. */
+  private def idNum(c: Column): Column = substring(c, 5, 10).cast("bigint")
+  private def idStr(c: Column): Column = format_string("img_%010d", c)
+
+  /** once-per-row prep: numeric id, phash, sorted token-hash set. */
+  private[pipeline] def prepared(corpus: DataFrame): DataFrame =
+    corpus.select(
+      idNum(col("image_id")).as("id"),
+      col("phash"),
+      gf.token_ngrams(col("caption"), 1).as("tok"))
 
   /** narrow per-row signature stage; input needs only (image_id, phash, caption). */
   def signatures(corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
@@ -58,70 +74,65 @@ object Dedup {
   /** number of pigeonhole blocks for the configured Hamming threshold. */
   def blocksFor(cfg: Config): Int = cfg.hammingThreshold + 1
 
-  private def blockEntries(cfg: Config): Column = {
-    val nb = blocksFor(cfg)
-    val width = 64 / nb
-    array((0 until nb).map { i =>
-      struct(lit(i).as("bi"),
-        shiftright(col("phash"), i * width).bitwiseAND(lit((1L << width) - 1)).as("bv"))
-    }: _*)
-  }
-
-  /** exact-cover candidate pairs: same (block index, block value). */
-  def candidatesPhashBlocks(corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
-    val keyed = corpus
-      .select(col("image_id"), col("phash"))
-      .withColumn("blk", explode(blockEntries(cfg)))
-      .select(col("image_id"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
-    val a = keyed.select(col("bi"), col("bv"), col("image_id").as("id_a"))
-    val b = keyed.select(col("bi"), col("bv"), col("image_id").as("id_b"))
-    a.join(b, Seq("bi", "bv"))
+  /** Salt-and-replicate self-join pair generation over an LSH-keyed frame
+    * `(bi, bv, id)`: rows in buckets larger than `hotThreshold` are salted
+    * into `saltChunks` sub-keys on the left side and replicated to every
+    * salt on the right side, so one pathological bucket (a giant duplicate
+    * cluster sharing a band/block value) fans out across `saltChunks` tasks
+    * instead of serializing in one. The generated pair set is EXACTLY the
+    * per-bucket cross product (every pair appears under the left row's salt
+    * exactly once) — correctness unchanged, verified by the oracle gate.
+    * Normal buckets pay zero replication (salt 0 only). */
+  private[pipeline] def saltedBucketPairs(keyed: DataFrame,
+      hotThreshold: Int, saltChunks: Int): DataFrame = {
+    val sizes = keyed.groupBy("bv").agg(count(lit(1)).as("bucket_n"))
+    val k = keyed.join(sizes, Seq("bv"))
+      .withColumn("hot", col("bucket_n") > hotThreshold)
+    val left = k.select(col("bv"),
+      when(col("hot"), pmod(col("id"), lit(saltChunks))).otherwise(lit(0L)).as("salt"),
+      col("id").as("id_a"))
+    val right = k.select(col("bv"), col("id").as("id_b"),
+        when(col("hot"), sequence(lit(0L), lit(saltChunks.toLong - 1))).otherwise(array(lit(0L)))
+          .as("salts"))
+      .withColumn("salt", explode(col("salts")))
+      .drop("salts")
+    left.join(right, Seq("bv", "salt"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
   }
 
-  /** banded MinHash LSH candidates (probabilistic channel).
-    * `maxBucket` caps pathological buckets (giant near-constant clusters):
-    * a bucket with more than `maxBucket` members contributes only the pairs
-    * that link consecutive members by sorted id — enough to keep the cluster
-    * connected for union-find while avoiding O(c²) blowup. */
-  def candidatesMinhash(sigs: DataFrame, cfg: Config = defaultConfig,
-      maxBucket: Int = 1000): DataFrame = {
-    val keyed = sigs
-      .select(col("image_id"), gf.band_keys(col("minhash"), cfg.bands, cfg.rowsPerBand).as("bk"))
-      .select(col("image_id"), posexplode(col("bk")).as(Seq("bi", "bv")))
-    val buckets = keyed.groupBy("bi", "bv")
-      .agg(sort_array(collect_list(col("image_id"))).as("members"))
-      .where(size(col("members")) > 1)
-    // pair enumeration per bucket: all pairs for small buckets, chain for huge
-    val pairsCol = when(size(col("members")) <= maxBucket,
-        expr("""filter(flatten(transform(members, (x, i) ->
-                  transform(slice(members, i + 2, size(members) - i - 1), y ->
-                    struct(x as id_a, y as id_b)))), p -> true)"""))
-      .otherwise(
-        expr("""transform(slice(members, 1, size(members) - 1), (x, i) ->
-                  struct(x as id_a, members[i + 1] as id_b))"""))
-    buckets
-      .select(explode(pairsCol).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+  /** exact-cover candidate pairs (numeric ids): same interleaved block key. */
+  def candidatesPhashBlocks(corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+    val keyed = prepared(corpus)
+      .select(col("id"), explode(gf.phash_block_keys(col("phash"), blocksFor(cfg))).as("bv"))
+    saltedBucketPairs(keyed, hotThreshold = 4096, saltChunks = 16)
   }
 
-  /** exact confirm of candidate pairs: Hamming + exact token jaccard, plus
-    * the suffix-array LCS length as an auxiliary signal column. */
+  /** banded MinHash LSH candidates (numeric ids, probabilistic channel). */
+  def candidatesMinhash(sigs: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+    val keyed = sigs
+      .select(idNum(col("image_id")).as("id"),
+        gf.band_keys(col("minhash"), cfg.bands, cfg.rowsPerBand).as("bk"))
+      .select(col("id"), explode(col("bk")).as("bv"))
+    saltedBucketPairs(keyed, hotThreshold = 4096, saltChunks = 16)
+  }
+
+  /** exact confirm of candidate pairs: Hamming + exact token jaccard over
+    * pre-hashed token sets. Output ids formatted back to strings. */
   def confirm(candidates: DataFrame, corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
-    val rows = corpus.select(col("image_id"), col("phash"), col("caption"))
-    val a = rows.toDF("id_a", "phash_a", "caption_a")
-    val b = rows.toDF("id_b", "phash_b", "caption_b")
+    val rows = prepared(corpus)
+    val a = rows.toDF("id_a", "phash_a", "tok_a")
+    val b = rows.toDF("id_b", "phash_b", "tok_b")
     candidates
       .join(a, "id_a")
       .join(b, "id_b")
       .withColumn("hamming", bit_count(col("phash_a").bitwiseXOR(col("phash_b"))))
       .where(col("hamming") <= cfg.hammingThreshold)
-      .withColumn("jaccard", gf.ngram_jaccard(col("caption_a"), col("caption_b"), 1))
+      .withColumn("jaccard", gf.exact_jaccard(col("tok_a"), col("tok_b")))
       .where(col("jaccard") >= cfg.tokenJaccard)
-      .select(col("id_a"), col("id_b"), col("hamming"), col("jaccard"))
+      .select(idStr(col("id_a")).as("id_a"), idStr(col("id_b")).as("id_b"),
+        col("hamming"), col("jaccard"))
   }
 
   /** full oracle-exact dup-pair query. */
@@ -132,33 +143,38 @@ object Dedup {
   /** connected components by iterative min-label propagation over the edge
     * list (the distributed union-find of SURVEY.md §4.2): labels converge in
     * O(log diameter) rounds; each round is one shuffle; `localCheckpoint`
-    * cuts lineage so plans don't grow across iterations. */
+    * cuts lineage. Only vertices that appear in an edge participate in the
+    * loop — singletons (the vast majority in a dedup workload) are appended
+    * unlabeled-as-themselves at the end, so per-round work is proportional
+    * to the duplicate subgraph, not the corpus. */
   def clusters(edges: DataFrame, vertices: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = vertices.sparkSession
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val symP = sym.repartition(col("src")).localCheckpoint()
-    var labels = vertices.select(col("image_id"), col("image_id").as("label"))
+    val e = edges.select(idNum(col("id_a")).as("src"), idNum(col("id_b")).as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var labels = sym.select(col("src").as("vid")).distinct()
+      .select(col("vid"), col("vid").as("label"))
       .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val neighborMin = symP
-        .join(labels.withColumnRenamed("image_id", "dst"), "dst")
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("vid", "dst"), "dst")
         .groupBy(col("src"))
         .agg(min(col("label")).as("nlabel"))
+        .withColumnRenamed("src", "vid")
       val updated = labels
-        .join(neighborMin.withColumnRenamed("src", "image_id"), Seq("image_id"), "left")
-        .select(col("image_id"),
+        .join(neighborMin, Seq("vid"), "left")
+        .select(col("vid"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "image_id")
-        .where(col("label") =!= col("old")).limit(1).count()
-      labels = updated
-      converged = changed == 0
+      converged = updated.where(col("label") < col("old")).isEmpty
+      labels = updated.drop("old")
       iter += 1
     }
-    labels.withColumnRenamed("label", "cluster_id")
+    val verts = vertices.select(idNum(col("image_id")).as("vid"))
+    val all = verts.join(labels, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("label"), col("vid")).as("label"))
+    all.select(idStr(col("vid")).as("image_id"), idStr(col("label")).as("cluster_id"))
   }
 
   /** per-partition HLL lineage metric: distinct-cluster cardinality estimate

@@ -67,6 +67,9 @@ object Kernels {
     exactJaccardSorted(sa, sb)
   }
 
+  def exactJaccardSortedAD(a: ArrayData, b: ArrayData): Double =
+    exactJaccardSorted(a.toLongArray(), b.toLongArray())
+
   /** exact jaccard of two unsigned-sorted distinct arrays (full walk, no
     * sketch-size bound). */
   def exactJaccardSorted(a: Array[Long], b: Array[Long]): Double = {
@@ -85,6 +88,69 @@ object Kernels {
 
   def lcsConfirm(a: UTF8String, b: UTF8String, frac: Double, minAbs: Int): Boolean =
     SuffixArrays.lcsConfirm(a.toString, b.toString, frac, minAbs)
+
+  /** interleaved pigeonhole block keys of a 64-bit hash: bit j of block i is
+    * source bit `j*blocks + i`, so correlated ADJACENT bits (neighboring DCT
+    * coefficients in a pHash) spread across different blocks — block values
+    * stay near-uniform and LSH buckets near-balanced. Any partition of the
+    * 64 bit positions into `blocks` classes preserves the exact-cover
+    * guarantee for Hamming ≤ blocks−1. Returns one packed value per block
+    * with the block index in the high byte. */
+  def interleavedBlockKeys(phash: Long, blocks: Int): ArrayData = {
+    val out = new Array[Long](blocks)
+    val width = 64 / blocks
+    var i = 0
+    while (i < blocks) {
+      var v = 0L
+      var j = 0
+      while (j < width) {
+        v |= ((phash >>> (j * blocks + i)) & 1L) << j
+        j += 1
+      }
+      out(i) = (i.toLong << 56) | v
+      i += 1
+    }
+    longs(out)
+  }
+
+  // ---- vector kernels (ANN hot path) ----
+
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  /** L2-normalize (float or double input) → unit double vector. */
+  def vecNormalize(a: ArrayData): ArrayData = {
+    val x = a.toDoubleArray()
+    var n = 0.0
+    var i = 0
+    while (i < x.length) { n += x(i) * x(i); i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    val out = new Array[Double](x.length)
+    i = 0
+    while (i < x.length) { out(i) = x(i) * inv; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def vecNormalizeFloat(a: ArrayData): ArrayData = {
+    val xf = a.toFloatArray()
+    val x = new Array[Double](xf.length)
+    var i = 0
+    while (i < xf.length) { x(i) = xf(i).toDouble; i += 1 }
+    var n = 0.0
+    i = 0
+    while (i < x.length) { n += x(i) * x(i); i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    val out = new Array[Double](x.length)
+    i = 0
+    while (i < x.length) { out(i) = x(i) * inv; i += 1 }
+    new GenericArrayData(out)
+  }
 
   // ---- HLL scalars ----
 

@@ -270,6 +270,58 @@ case class HllMergeScalar(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** interleaved pigeonhole block keys (exact cover of Hamming ≤ blocks−1). */
+case class InterleavedBlockKeys(child: Expression, blocks: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "phash_block_keys"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.interleavedBlockKeys(t.asInstanceOf[Long], blocks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.interleavedBlockKeys($c, $blocks)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** exact set jaccard over pre-hashed sorted-distinct feature arrays — the
+  * confirm kernel (no per-pair re-tokenization). */
+case class ExactJaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "exact_jaccard"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.exactJaccardSortedAD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.exactJaccardSortedAD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+// ---- vector kernels (ANN hot path) ----
+
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.vecDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** L2-normalize a float vector → unit double vector. */
+case class VecNormalizeFloat(child: Expression)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_normalize"
+  protected override def nullSafeEval(a: Any): Any =
+    Kernels.vecNormalizeFloat(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.vecNormalizeFloat($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 // ---- cold-path (CodegenFallback) expressions ----
 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback

@@ -51,6 +51,11 @@ object functions {
   def lcs_len(a: Column, b: Column): Column = c(LcsLen(e(a), e(b)))
   def omh_similarity(a: Column, b: Column): Column = c(OmhSimilarity(e(a), e(b)))
   def weighted_jaccard(a: Column, b: Column): Column = c(WeightedJaccard(e(a), e(b)))
+  def phash_block_keys(phash: Column, blocks: Int): Column =
+    c(InterleavedBlockKeys(e(phash), blocks))
+  def exact_jaccard(a: Column, b: Column): Column = c(ExactJaccardSorted(e(a), e(b)))
+  def vec_dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+  def vec_normalize_float(a: Column): Column = c(VecNormalizeFloat(e(a)))
   def hll_card(regs: Column): Column = c(HllCard(e(regs)))
   def hll_jaccard(a: Column, b: Column): Column = c(HllJaccard(e(a), e(b)))
   def hll_merge2(a: Column, b: Column): Column = c(HllMergeScalar(e(a), e(b)))
