@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // fixed, pre-touched heap: lazily growing/faulting tens of GB mid-job puts
+  // the kernel page-zeroing storm (90%+ sys time) inside whatever stage runs
+  // first — pre-touch moves it to JVM startup, outside all measurements
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
+  sys.env.getOrElse("GRAFT_GC", "-XX:+UseG1GC"),
+  sys.env.getOrElse("GRAFT_GCLOG", "-Dgraft.gclog.off=1"),
 )

@@ -22,6 +22,9 @@ object SparkEntry {
   private def tuned(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // local mode: broadcast = shared memory; lets the confirm join broadcast
+    // the (id, phash/tok) side instead of shuffling candidate pairs twice
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     spark
   }
 

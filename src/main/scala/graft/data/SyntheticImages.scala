@@ -240,7 +240,7 @@ object SyntheticImages {
     name match {
       case "sf0.001" => 1200
       case "sf0.01"  => 12000
-      case "sf0.1"   => 300000 // sized so the local[8] e2e run takes >= 60 s (BASELINE.md)
+      case "sf0.1"   => 1000000 // sized so the local[8] e2e run takes >= 60 s (BASELINE.md)
       case _         => 12000
     }
   }

@@ -75,60 +75,77 @@ object Dedup {
   def blocksFor(cfg: Config): Int = cfg.hammingThreshold + 1
 
   /** Salt-and-replicate self-join pair generation over an LSH-keyed frame
-    * `(bi, bv, id)`: rows in buckets larger than `hotThreshold` are salted
-    * into `saltChunks` sub-keys on the left side and replicated to every
-    * salt on the right side, so one pathological bucket (a giant duplicate
-    * cluster sharing a band/block value) fans out across `saltChunks` tasks
-    * instead of serializing in one. The generated pair set is EXACTLY the
-    * per-bucket cross product (every pair appears under the left row's salt
-    * exactly once) — correctness unchanged, verified by the oracle gate.
-    * Normal buckets pay zero replication (salt 0 only). */
-  private[pipeline] def saltedBucketPairs(keyed: DataFrame,
+    * `(id, phash, bv)`: rows in buckets larger than `hotThreshold` are
+    * salted into `saltChunks` sub-keys on the left side and replicated to
+    * every salt on the right side, so one pathological bucket (a giant
+    * duplicate cluster sharing a band/block value) fans out across
+    * `saltChunks` tasks instead of serializing in one; normal buckets pay
+    * zero replication. The pHash rides along BOTH join sides so the cheap
+    * Hamming predicate runs inside the join's output stage (whole-stage
+    * codegen) — the raw per-bucket cross product (10-100× the surviving
+    * pairs) is filtered before it ever reaches the `distinct` shuffle. The
+    * generated pair set is exactly the Hamming-filtered per-bucket cross
+    * product (every pair appears under the left row's salt exactly once) —
+    * correctness unchanged, verified by the oracle gate. */
+  private[pipeline] def saltedBucketPairs(keyed: DataFrame, maxHamming: Int,
       hotThreshold: Int, saltChunks: Int): DataFrame = {
     val sizes = keyed.groupBy("bv").agg(count(lit(1)).as("bucket_n"))
     val k = keyed.join(sizes, Seq("bv"))
       .withColumn("hot", col("bucket_n") > hotThreshold)
     val left = k.select(col("bv"),
       when(col("hot"), pmod(col("id"), lit(saltChunks))).otherwise(lit(0L)).as("salt"),
-      col("id").as("id_a"))
-    val right = k.select(col("bv"), col("id").as("id_b"),
+      col("id").as("id_a"), col("phash").as("phash_a"))
+    val right = k.select(col("bv"), col("id").as("id_b"), col("phash").as("phash_b"),
         when(col("hot"), sequence(lit(0L), lit(saltChunks.toLong - 1))).otherwise(array(lit(0L)))
           .as("salts"))
       .withColumn("salt", explode(col("salts")))
       .drop("salts")
-    left.join(right, Seq("bv", "salt"))
-      .where(col("id_a") < col("id_b"))
+    // the self-join sides are the same order of magnitude — force a shuffled
+    // hash join so Catalyst never tries to broadcast-build millions of rows
+    left.hint("shuffle_hash").join(right, Seq("bv", "salt"))
+      .where(col("id_a") < col("id_b") &&
+        bit_count(col("phash_a").bitwiseXOR(col("phash_b"))) <= maxHamming)
       .select("id_a", "id_b")
       .distinct()
   }
 
-  /** exact-cover candidate pairs (numeric ids): same interleaved block key. */
+  /** exact-cover candidate pairs (numeric ids): same interleaved block key,
+    * Hamming-filtered in the join stage. */
   def candidatesPhashBlocks(corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
     val keyed = prepared(corpus)
-      .select(col("id"), explode(gf.phash_block_keys(col("phash"), blocksFor(cfg))).as("bv"))
-    saltedBucketPairs(keyed, hotThreshold = 4096, saltChunks = 16)
+      .select(col("id"), col("phash"),
+        explode(gf.phash_block_keys(col("phash"), blocksFor(cfg))).as("bv"))
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 4096, saltChunks = 16)
   }
 
-  /** banded MinHash LSH candidates (numeric ids, probabilistic channel). */
+  /** banded MinHash LSH candidates (numeric ids, probabilistic channel);
+    * Hamming pre-filter applies the same confirm predicate early. */
   def candidatesMinhash(sigs: DataFrame, cfg: Config = defaultConfig): DataFrame = {
     val keyed = sigs
-      .select(idNum(col("image_id")).as("id"),
+      .select(idNum(col("image_id")).as("id"), col("phash"),
         gf.band_keys(col("minhash"), cfg.bands, cfg.rowsPerBand).as("bk"))
-      .select(col("id"), explode(col("bk")).as("bv"))
-    saltedBucketPairs(keyed, hotThreshold = 4096, saltChunks = 16)
+      .select(col("id"), col("phash"), explode(col("bk")).as("bv"))
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 4096, saltChunks = 16)
   }
 
-  /** exact confirm of candidate pairs: Hamming + exact token jaccard over
-    * pre-hashed token sets. Output ids formatted back to strings. */
+  /** exact confirm of (already Hamming-filtered) candidate pairs: recheck
+    * Hamming, then exact token jaccard over pre-hashed token sets — the
+    * token arrays only ever join against the tiny surviving pair set.
+    * Output ids formatted back to strings. */
   def confirm(candidates: DataFrame, corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
     val rows = prepared(corpus)
-    val a = rows.toDF("id_a", "phash_a", "tok_a")
-    val b = rows.toDF("id_b", "phash_b", "tok_b")
+    val ph = rows.select(col("id"), col("phash"))
+    val tk = rows.select(col("id"), col("tok"))
     candidates
-      .join(a, "id_a")
-      .join(b, "id_b")
+      // shuffle_hash everywhere: broadcast builds are single-threaded driver
+      // work and sort-merge would sort the fat token arrays
+      .hint("shuffle_hash").join(ph.toDF("id_a", "phash_a"), "id_a")
+      .hint("shuffle_hash").join(ph.toDF("id_b", "phash_b"), "id_b")
       .withColumn("hamming", bit_count(col("phash_a").bitwiseXOR(col("phash_b"))))
       .where(col("hamming") <= cfg.hammingThreshold)
+      // hash joins: sort-merge would sort the fat token arrays
+      .hint("shuffle_hash").join(tk.toDF("id_a", "tok_a"), "id_a")
+      .hint("shuffle_hash").join(tk.toDF("id_b", "tok_b"), "id_b")
       .withColumn("jaccard", gf.exact_jaccard(col("tok_a"), col("tok_b")))
       .where(col("jaccard") >= cfg.tokenJaccard)
       .select(idStr(col("id_a")).as("id_a"), idStr(col("id_b")).as("id_b"),
@@ -147,10 +164,20 @@ object Dedup {
     * loop — singletons (the vast majority in a dedup workload) are appended
     * unlabeled-as-themselves at the end, so per-round work is proportional
     * to the duplicate subgraph, not the corpus. */
-  def clusters(edges: DataFrame, vertices: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusters(edges: DataFrame, vertices: DataFrame, maxIter: Int = 20,
+      localThreshold: Long = 20000000L): DataFrame = {
     val e = edges.select(idNum(col("id_a")).as("src"), idNum(col("id_b")).as("dst"))
+      .localCheckpoint()
+    // the dup subgraph is usually tiny relative to the corpus: size the
+    // per-round shuffles to the EDGE count, not the session default, so the
+    // latency-bound propagation rounds don't drown in task overhead
+    val nEdges = e.count()
+    if (nEdges <= localThreshold) return clustersLocal(e, vertices)
+    val parts = math.max(2, math.min(
+      vertices.sparkSession.sparkContext.defaultParallelism,
+      (nEdges / 250000L).toInt + 1))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(parts, col("src")).localCheckpoint()
     var labels = sym.select(col("src").as("vid")).distinct()
       .select(col("vid"), col("vid").as("label"))
       .localCheckpoint()
@@ -175,6 +202,65 @@ object Dedup {
     val all = verts.join(labels, Seq("vid"), "left")
       .select(col("vid"), coalesce(col("label"), col("vid")).as("label"))
     all.select(idStr(col("vid")).as("image_id"), idStr(col("label")).as("cluster_id"))
+  }
+
+  /** Hybrid fast path: when the duplicate subgraph fits on the driver (edge
+    * lists are 16 bytes/edge; 20M edges ≈ 320 MB), collect ONLY the edges,
+    * run in-memory union-find, and broadcast the labels back — O(E α(E))
+    * with zero per-round scheduling latency. Singletons (the bulk of the
+    * corpus) never leave the executors. The distributed label-propagation
+    * loop above remains the path for edge sets past the threshold. */
+  private def clustersLocal(e: DataFrame, vertices: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val pairs = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    // dense-index primitive union-find (no boxing): vids → sorted unique ids
+    val vids = new Array[Long](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      vids(2 * i) = pairs(i)._1; vids(2 * i + 1) = pairs(i)._2; i += 1
+    }
+    java.util.Arrays.sort(vids)
+    var nv = 0
+    i = 0
+    while (i < vids.length) {
+      if (nv == 0 || vids(i) != vids(nv - 1)) { vids(nv) = vids(i); nv += 1 }
+      i += 1
+    }
+    val parent = Array.tabulate(nv)(identity)
+    @annotation.tailrec
+    def find(x: Int): Int = {
+      val p = parent(x)
+      if (p == x) x
+      else { parent(x) = parent(p); find(parent(x)) }
+    }
+    i = 0
+    while (i < pairs.length) {
+      val a = find(java.util.Arrays.binarySearch(vids, 0, nv, pairs(i)._1))
+      val b = find(java.util.Arrays.binarySearch(vids, 0, nv, pairs(i)._2))
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b } // min-index = min-id (vids sorted)
+      i += 1
+    }
+    val labelArr = new Array[Long](nv)
+    i = 0
+    while (i < nv) { labelArr(i) = vids(find(i)); i += 1 }
+    val vidsTrim = java.util.Arrays.copyOf(vids, nv)
+    // broadcast the primitive (sorted vids → labels) arrays and resolve each
+    // vertex with a binary search in a narrow map stage — no join, no
+    // shuffle, no driver-side row materialization
+    val bcV = spark.sparkContext.broadcast(vidsTrim)
+    val bcL = spark.sparkContext.broadcast(labelArr)
+    vertices.select(idNum(col("image_id")).as("vid")).as[Long]
+      .mapPartitions { it =>
+        val v = bcV.value
+        val l = bcL.value
+        it.map { vid =>
+          val idx = java.util.Arrays.binarySearch(v, vid)
+          val label = if (idx >= 0) l(idx) else vid
+          (f"img_$vid%010d", f"img_$label%010d")
+        }
+      }
+      .toDF("image_id", "cluster_id")
   }
 
   /** per-partition HLL lineage metric: distinct-cluster cardinality estimate

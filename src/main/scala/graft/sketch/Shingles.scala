@@ -17,18 +17,21 @@ object Shingles {
 
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
-  /** distinct character k-shingle hashes (unsigned-sorted for determinism). */
+  /** distinct character k-shingle hashes (unsigned-sorted for determinism).
+    * Allocation-light: one primitive array + in-place sort-dedup (no boxed
+    * HashSet) — this runs once per row on the hottest narrow stage. */
   def charShingles(text: String, k: Int, seed: Int = 42): Array[Long] = {
     if (text == null || text.length < k) return Array.emptyLongArray
     val bytes = text.getBytes(Utf8)
     if (bytes.length < k) return Array.emptyLongArray
-    val set = new java.util.HashSet[java.lang.Long]()
+    val n = bytes.length - k + 1
+    val hs = new Array[Long](n)
     var i = 0
-    while (i + k <= bytes.length) {
-      set.add(HashKernels.murmur3_x64_128(bytes, i, k, seed)._1)
+    while (i < n) {
+      hs(i) = HashKernels.murmur3_x64_128(bytes, i, k, seed)._1
       i += 1
     }
-    toSortedArray(set)
+    sortDedupUnsigned(hs)
   }
 
   /** distinct word n-gram hashes over whitespace tokens. */
@@ -36,14 +39,38 @@ object Shingles {
     if (text == null) return Array.emptyLongArray
     val tokens = text.split("\\s+").filter(_.nonEmpty)
     if (tokens.length < n) return Array.emptyLongArray
-    val set = new java.util.HashSet[java.lang.Long]()
+    val m = tokens.length - n + 1
+    val hs = new Array[Long](m)
     var i = 0
-    while (i + n <= tokens.length) {
-      val gram = tokens.slice(i, i + n).mkString(" ").getBytes(Utf8)
-      set.add(HashKernels.murmur3_x64_128(gram, 0, gram.length, seed)._1)
+    while (i < m) {
+      val gram =
+        if (n == 1) tokens(i).getBytes(Utf8)
+        else {
+          val sb = new java.lang.StringBuilder(tokens(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(tokens(i + j)); j += 1 }
+          sb.toString.getBytes(Utf8)
+        }
+      hs(i) = HashKernels.murmur3_x64_128(gram, 0, gram.length, seed)._1
       i += 1
     }
-    toSortedArray(set)
+    sortDedupUnsigned(hs)
+  }
+
+  /** in-place unsigned sort + dedup. */
+  private def sortDedupUnsigned(hs: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < hs.length) { hs(i) = HashKernels.unsignedSortKey(hs(i)); i += 1 }
+    java.util.Arrays.sort(hs)
+    var n = 0
+    i = 0
+    while (i < hs.length) {
+      if (n == 0 || hs(i) != hs(n - 1)) { hs(n) = hs(i); n += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < n) { hs(i) = hs(i) ^ Long.MinValue; i += 1 }
+    if (n == hs.length) hs else java.util.Arrays.copyOf(hs, n)
   }
 
   /** pHash bit-gram features: `64/step` overlapping windows of `gram` bits

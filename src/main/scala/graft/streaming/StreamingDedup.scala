@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+import graft.spark.{functions => gf}
+
+/** Incremental (streaming) near-duplicate detection.
+  *
+  * The reference is batch-only (SURVEY.md §2.5 "Streaming: none"), but a
+  * training-data ingest pipeline sees documents/images arrive continuously.
+  * This module processes an append-only stream of image+caption rows and
+  * maintains a persistent LSH index:
+  *
+  *  - `readStream` source → the same narrow signature stage as batch
+  *    (sketches are row-local, so batch/stream parity is free);
+  *  - `foreachBatch`: each micro-batch's band keys are joined against the
+  *    accumulated index parquet (new-vs-old) AND self-joined (new-vs-new),
+  *    confirmed exactly, appended to a `dup_pairs` sink, then the batch's
+  *    keys are appended to the index — the incremental form of the batch
+  *    LSH join (new data only ever joins the index, never the full history
+  *    re-shuffles).
+  *
+  * State lives in parquet (restart-safe together with the checkpointLocation
+  * offsets), keeping the pattern identical to what an Iceberg-backed index
+  * table would do at production scale.
+  */
+object StreamingDedup {
+
+  /** run the incremental pipeline over a parquet-backed stream.
+    * Returns the started query; results accumulate under `outDir/dup_pairs`,
+    * the LSH index under `outDir/index`. */
+  def start(spark: SparkSession, sourceDir: String, outDir: String,
+      cfg: Dedup.Config = Dedup.defaultConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(sourceDir)
+
+    val indexDir = s"$outDir/index"
+    val pairsDir = s"$outDir/dup_pairs"
+
+    stream.writeStream
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigs = Dedup.signatures(batch, cfg)
+        val keyed = sigs.select(
+            expr("cast(substring(image_id, 5) as bigint)").as("id"),
+            col("phash"),
+            explode(gf.band_keys(col("minhash"), cfg.bands, cfg.rowsPerBand)).as("bv"),
+            col("caption"))
+          .withColumn("tok", gf.token_ngrams(col("caption"), 1))
+          .drop("caption")
+          .localCheckpoint()
+
+        val haveIndex = new java.io.File(indexDir, "_SUCCESS").exists()
+        val oldIndex = if (haveIndex) spark.read.parquet(indexDir) else null
+
+        def confirmPairs(a: DataFrame, b: DataFrame): DataFrame =
+          a.toDF("bv", "id_a", "phash_a", "tok_a")
+            .join(b.toDF("bv", "id_b", "phash_b", "tok_b"), "bv")
+            .where(col("id_a") < col("id_b") &&
+              bit_count(col("phash_a").bitwiseXOR(col("phash_b"))) <= cfg.hammingThreshold)
+            .where(gf.exact_jaccard(col("tok_a"), col("tok_b")) >= cfg.tokenJaccard)
+            .select(col("id_a"), col("id_b")).distinct()
+
+        val cols = keyed.select("bv", "id", "phash", "tok")
+        val newNew = confirmPairs(cols, cols)
+        val pairs =
+          if (oldIndex != null) newNew.union(confirmPairs(cols, oldIndex)).distinct()
+          else newNew
+        pairs
+          .select(format_string("img_%010d", col("id_a")).as("id_a"),
+            format_string("img_%010d", col("id_b")).as("id_b"))
+          .write.mode("append").parquet(pairsDir)
+        // append this batch to the index (read-before-overwrite is unsafe;
+        // the index is append-only like an Iceberg append commit)
+        keyed.select("bv", "id", "phash", "tok").write.mode("append").parquet(indexDir)
+        ()
+      }
+      .start()
+  }
+}

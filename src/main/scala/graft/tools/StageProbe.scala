@@ -16,6 +16,8 @@ object StageProbe {
       SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus.toString)
         .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", "/dev/shm/spark-graft") // shuffle to tmpfs: stable measurements, no disk variance
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     }
@@ -25,21 +27,26 @@ object StageProbe {
       Dedup.clusters(Dedup.dupPairs(c), c.select("image_id")).count() }
     w.stop()
 
-    for (cpus <- Seq(8, 32)) {
+    val cpuList = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(8, 32)
+    for (cpus <- cpuList) {
       val s = session(cpus); s.sparkContext.setLogLevel("WARN")
       val corpus = SyntheticImages.ensure(s, sfDir)
       def t(name: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val n = f
-        println(f"PROBE cpus=$cpus $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          f
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROBE cpus=$cpus $name%-22s ${times.map(x => f"$x%7.2f").mkString(" ")} s")
       }
       t("scan_count") { corpus.count() }
-      t("signatures") { Dedup.signatures(corpus).agg(sum(crc32(col("minhash").cast("string")))).count(); Dedup.signatures(corpus).count() }
+      t("signatures") { Dedup.signatures(corpus)
+        .agg(avg(element_at(col("minhash"), 1).cast("double"))).head(); 636381L }
+      val cand = Dedup.candidatesPhashBlocks(corpus).localCheckpoint()
       t("candidates") { Dedup.candidatesPhashBlocks(corpus).count() }
-      val cand = Dedup.candidatesPhashBlocks(corpus)
-      t("confirm") { Dedup.confirm(cand, corpus).count() }
-      val edges = Dedup.dupPairs(corpus)
-      t("clusters") { Dedup.clusters(edges, corpus.select("image_id")).count() }
+      val edges = Dedup.confirm(cand, corpus).select("id_a", "id_b").localCheckpoint()
+      t("confirm_only") { Dedup.confirm(cand, corpus).select("id_a", "id_b").count() }
+      t("clusters_only") { Dedup.clusters(edges, corpus.select("image_id")).count() }
       s.stop()
     }
   }

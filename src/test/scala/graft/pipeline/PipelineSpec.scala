@@ -75,6 +75,11 @@ class PipelineSpec extends AnyFunSuite {
     val got = Dedup.clusters(Dedup.dupPairs(corpus), corpus.select("image_id"))
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(got === expect)
+    // distributed label-propagation path (localThreshold = 0) must agree
+    val gotDist = Dedup.clusters(Dedup.dupPairs(corpus), corpus.select("image_id"),
+        localThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(gotDist === expect)
   }
 
   test("spark aggregate merge laws: sig_merge / minhash_merge / hll union") {
