@@ -90,6 +90,9 @@ object Dedup {
   private[pipeline] def saltedBucketPairs(keyed: DataFrame, maxHamming: Int,
       hotThreshold: Int, saltChunks: Int): DataFrame = {
     val sizes = keyed.groupBy("bv").agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") >= 2) // singleton buckets cannot produce pairs —
+                                   // drop them before the self-join (typically
+                                   // 90%+ of banded rows)
     val k = keyed.join(sizes, Seq("bv"))
       .withColumn("hot", col("bucket_n") > hotThreshold)
     val left = k.select(col("bv"),

@@ -44,6 +44,9 @@ object StageProbe {
         .agg(avg(element_at(col("minhash"), 1).cast("double"))).head(); 636381L }
       val cand = Dedup.candidatesPhashBlocks(corpus).localCheckpoint()
       t("candidates") { Dedup.candidatesPhashBlocks(corpus).count() }
+      val sigsDf = Dedup.signatures(corpus).localCheckpoint()
+      t("mh_candidates") { Dedup.candidatesMinhash(sigsDf).count() }
+      t("mh_cand_nockpt") { Dedup.candidatesMinhash(Dedup.signatures(corpus)).count() }
       val edges = Dedup.confirm(cand, corpus).select("id_a", "id_b").localCheckpoint()
       t("confirm_only") { Dedup.confirm(cand, corpus).select("id_a", "id_b").count() }
       t("clusters_only") { Dedup.clusters(edges, corpus.select("image_id")).count() }
