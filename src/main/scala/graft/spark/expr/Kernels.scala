@@ -113,6 +113,17 @@ object Kernels {
     longs(out)
   }
 
+  // ---- DNA domain (reference parity) ----
+
+  def dnaCanonicalKmers(seq: UTF8String, k: Int): ArrayData =
+    longs(Dna.canonicalKmerHashes(seq.getBytes, k))
+
+  def dnaRevComp(seq: UTF8String): UTF8String =
+    UTF8String.fromBytes(Dna.reverseComplement(seq.getBytes))
+
+  def dnaMinimizers(seq: UTF8String, k: Int, w: Int): ArrayData =
+    longs(Minimizers.dnaMinimizers(seq.toString, k, w))
+
   // ---- vector kernels (ANN hot path) ----
 
   def vecDot(a: ArrayData, b: ArrayData): Double = {

@@ -296,6 +296,44 @@ case class ExactJaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** canonical k-mer murmur3 hashes (reference `MinHash::update` feature
+  * stream, `/root/reference/src/MinHash.cpp:465-746`). */
+case class DnaCanonicalKmers(child: Expression, k: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dna_canonical_kmers"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.dnaCanonicalKmers(t.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.dnaCanonicalKmers($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** reference `reverseComplement` (`/root/reference/src/MinHash.cpp:1117-1127`). */
+case class DnaRevComp(child: Expression)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "dna_revcomp"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.dnaRevComp(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.dnaRevComp($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** DNA sliding-window minimizer set (reference `findMinimizers`,
+  * `/root/reference/src/histoSketch.cpp:51-216`). */
+case class DnaMinimizersExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dna_minimizers"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.dnaMinimizers(t.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.dnaMinimizers($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 // ---- vector kernels (ANN hot path) ----
 
 case class VecDot(left: Expression, right: Expression)

@@ -51,6 +51,10 @@ object functions {
   def lcs_len(a: Column, b: Column): Column = c(LcsLen(e(a), e(b)))
   def omh_similarity(a: Column, b: Column): Column = c(OmhSimilarity(e(a), e(b)))
   def weighted_jaccard(a: Column, b: Column): Column = c(WeightedJaccard(e(a), e(b)))
+  def dna_canonical_kmers(seq: Column, k: Int = 21): Column = c(DnaCanonicalKmers(e(seq), k))
+  def dna_revcomp(seq: Column): Column = c(DnaRevComp(e(seq)))
+  def dna_minimizers(seq: Column, k: Int = 21, w: Int = 20): Column =
+    c(DnaMinimizersExpr(e(seq), k, w))
   def phash_block_keys(phash: Column, blocks: Int): Column =
     c(InterleavedBlockKeys(e(phash), blocks))
   def exact_jaccard(a: Column, b: Column): Column = c(ExactJaccardSorted(e(a), e(b)))
@@ -121,5 +125,13 @@ object functions {
       xs => WeightedJaccard(xs.head, xs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hll_jaccard",
       xs => HllJaccard(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dna_canonical_kmers",
+      xs => DnaCanonicalKmers(xs.head, intArg(xs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("dna_revcomp", xs => DnaRevComp(xs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dna_minimizers",
+      xs => DnaMinimizersExpr(xs.head, intArg(xs(1)), intArg(xs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("exact_jaccard",
+      xs => ExactJaccardSorted(xs.head, xs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot", xs => VecDot(xs.head, xs(1)), "scala_udf")
   }
 }
