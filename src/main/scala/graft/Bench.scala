@@ -140,8 +140,9 @@ object Bench {
            |
            |Input: deterministic synthetic image+caption corpus, $nRows rows
            |(`${SyntheticImages.corpusPath(sfDir)}`), generation excluded from timing.
-           |Job: end-to-end sketch→cluster (signatures → pHash-block LSH join →
-           |exact confirm → label-propagation clustering → per-partition HLL metrics).
+           |Job: end-to-end sketch→cluster (128-perm MinHash + SimHash signatures →
+           |banded LSH salted join → exact confirm → connected-components
+           |clustering → per-partition HLL lineage metrics).
            |
            |## N→4N scaling protocol (BASELINE.md)
            |

@@ -56,13 +56,18 @@ object StreamingDedup {
         val haveIndex = new java.io.File(indexDir, "_SUCCESS").exists()
         val oldIndex = if (haveIndex) spark.read.parquet(indexDir) else null
 
+        // pair order must be normalized with least/greatest: a NEW row's id
+        // can be on either side of an OLD row's id, so `id_a < id_b` on the
+        // raw join would drop most cross-batch pairs
         def confirmPairs(a: DataFrame, b: DataFrame): DataFrame =
-          a.toDF("bv", "id_a", "phash_a", "tok_a")
-            .join(b.toDF("bv", "id_b", "phash_b", "tok_b"), "bv")
-            .where(col("id_a") < col("id_b") &&
+          a.toDF("bv", "ia", "phash_a", "tok_a")
+            .join(b.toDF("bv", "ib", "phash_b", "tok_b"), "bv")
+            .where(col("ia") =!= col("ib") &&
               bit_count(col("phash_a").bitwiseXOR(col("phash_b"))) <= cfg.hammingThreshold)
             .where(gf.exact_jaccard(col("tok_a"), col("tok_b")) >= cfg.tokenJaccard)
-            .select(col("id_a"), col("id_b")).distinct()
+            .select(least(col("ia"), col("ib")).as("id_a"),
+              greatest(col("ia"), col("ib")).as("id_b"))
+            .distinct()
 
         val cols = keyed.select("bv", "id", "phash", "tok")
         val newNew = confirmPairs(cols, cols)
