@@ -64,6 +64,15 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // suffix-array substring confirm channel (north_star): Hamming-close
+    // pairs whose captions share a common substring of length >= 12; the
+    // lcs_len kernel is oracle-checked via the L-gram-intersection identity
+    "dup_pairs_substring" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      Dedup.confirmSubstring(Dedup.candidatesPhashBlocks(c), c)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+
     // banded 128-perm MinHash LSH channel (probabilistic; recall tested in
     // PipelineSpec) — rows-only driver check
     "dup_pairs_minhash" -> ((s, dir) => {
@@ -136,6 +145,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- DNA-domain parity ops (reference's native domain; sequences are
+    // derived deterministically from the documents table in BOTH engines:
+    // md5 hex -> ACGT alphabet, so the DuckDB oracle sees identical input) ----
+    "dna_revcomp" -> ((s, dir) => {
+      val dna = docs(s, dir).select(col("doc_id"),
+        translate(upper(md5(col("text"))), "0123456789ABCDEF", "ACGTACGTACGTACGT").as("seq"))
+      dna.select(col("doc_id"), col("seq"), gf.dna_revcomp(col("seq")).as("rc"))
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding similarity search ----
     "embed_knn" -> ((s, dir) =>
       Ann.cosineTopK(embeds(s, dir), 10).orderBy("query_id", "rank")),
@@ -193,11 +212,33 @@ object SparkEntry {
          |SELECT id_a, id_b FROM conf
          |WHERE hamming <= $ht AND inter * 1.0 / (na + nb - inter) >= $tau
          |ORDER BY id_a, id_b""".stripMargin
+    // suffix-array LCS predicate: lcs(a,b) >= L  <=>  char L-gram sets intersect
+    val lcsMin = 12
+    val substringPairsSql =
+      s"""WITH t AS (SELECT image_id, phash, caption FROM $t),
+         |blk AS (SELECT image_id, phash, caption, i,
+         |               (phash >> (i * $width)) & ${(1L << width) - 1} AS bv
+         |        FROM t, (SELECT unnest([0,1,2,3]) AS i)),
+         |cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+         |         FROM blk a JOIN blk b ON a.i = b.i AND a.bv = b.bv
+         |              AND a.image_id < b.image_id),
+         |conf AS (SELECT c.id_a, c.id_b,
+         |           bit_count(xor(ta.phash, tb.phash)) AS hamming,
+         |           ta.caption AS ca, tb.caption AS cb
+         |         FROM cand c
+         |         JOIN t ta ON ta.image_id = c.id_a
+         |         JOIN t tb ON tb.image_id = c.id_b)
+         |SELECT id_a, id_b FROM conf
+         |WHERE hamming <= $ht AND len(list_intersect(
+         |  list_transform(range(1, length(ca) - $lcsMin + 2), i -> substr(ca, i::INT, $lcsMin)),
+         |  list_transform(range(1, length(cb) - $lcsMin + 2), i -> substr(cb, i::INT, $lcsMin)))) > 0
+         |ORDER BY id_a, id_b""".stripMargin
     Map(
       "img_corpus" ->
         s"""SELECT image_id, w, h, fmt, caption, phash,
            |octet_length(bytes) AS n_bytes FROM $t ORDER BY image_id""".stripMargin,
       "dup_pairs" -> dupPairsSql,
+      "dup_pairs_substring" -> substringPairsSql,
       "dup_clusters" ->
         s"""WITH RECURSIVE pairs AS ($dupPairsSql),
            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -250,6 +291,36 @@ object SparkEntry {
       "doc_token_counts" ->
         s"""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens
            |FROM $docsT ORDER BY doc_id""".stripMargin,
+
+      "doc_tokenize" ->
+        s"""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens,
+           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f]'))::BIGINT
+           |    AS bpe_ish_tokens
+           |FROM $docsT ORDER BY doc_id""".stripMargin,
+
+      "doc_lang_id" ->
+        s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM $docsT),
+           |s AS (SELECT doc_id, text,
+           |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it'], lower(x)))) AS s_en,
+           |  len(list_filter(toks, x -> list_contains(['le','la','les','et','de','un','une','est'], lower(x)))) AS s_fr,
+           |  len(list_filter(toks, x -> list_contains(['el','la','los','y','de','que','es','un'], lower(x)))) AS s_es,
+           |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht','von'], lower(x)))) AS s_de
+           |  FROM t),
+           |b AS (SELECT doc_id, text,
+           |  list_sort([{'score': s_en, 'lang': 'en'}, {'score': s_fr, 'lang': 'fr'},
+           |             {'score': s_es, 'lang': 'es'}, {'score': s_de, 'lang': 'de'}])[-1] AS best
+           |  FROM s)
+           |SELECT doc_id,
+           |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |       WHEN best.score >= 2 THEN best.lang ELSE 'und' END AS lang_pred
+           |FROM b ORDER BY doc_id""".stripMargin,
+
+      "dna_revcomp" ->
+        s"""WITH d AS (SELECT doc_id,
+           |  translate(upper(md5(text)), '0123456789ABCDEF', 'ACGTACGTACGTACGT') AS seq
+           |  FROM $docsT)
+           |SELECT doc_id, seq, reverse(translate(seq, 'ACGT', 'TGCA')) AS rc
+           |FROM d ORDER BY doc_id""".stripMargin,
 
       "doc_distinct_tokens_by_source" ->
         s"""SELECT source, count(DISTINCT tk) AS n_distinct_tokens

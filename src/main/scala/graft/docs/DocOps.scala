@@ -124,12 +124,17 @@ object DocOps {
   }
 
   /** whitespace + BPE-ish regex token counts. The regex pass approximates
-    * byte-pair-style subword splitting (runs of letters / digits / other). */
+    * byte-pair-style subword splitting: a token is a maximal letter run, a
+    * maximal digit run, or a single other non-space char — lookaround-free,
+    * so the identical pattern runs under both Java regex and DuckDB's RE2
+    * (oracle-checked). */
+  // explicit whitespace class: Java's \s includes \x0B, RE2's does not
+  val bpeIshPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f]"
   def tokenCounts(docs: DataFrame): DataFrame = {
     docs.select(
       col("doc_id"),
       size(toks).cast("long").as("ws_tokens"),
-      size(split(col("text"), "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|\\s+|(?=[^a-z0-9\\s])"))
+      size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0)))
         .cast("long").as("bpe_ish_tokens"))
   }
 

@@ -132,27 +132,43 @@ object Dedup {
   }
 
   /** exact confirm of (already Hamming-filtered) candidate pairs: recheck
-    * Hamming, then exact token jaccard over pre-hashed token sets — the
-    * token arrays only ever join against the tiny surviving pair set.
+    * Hamming, then exact token jaccard over pre-hashed token sets.
+    * Both candidate channels pre-filter Hamming inside the bucket join, so
+    * the surviving pair set is already tiny — fetch (phash, tok) together,
+    * ONE shuffle join per side, instead of a phash-only pre-shrink pass
+    * that would double the join count for no reduction.
     * Output ids formatted back to strings. */
   def confirm(candidates: DataFrame, corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
     val rows = prepared(corpus)
-    val ph = rows.select(col("id"), col("phash"))
-    val tk = rows.select(col("id"), col("tok"))
     candidates
-      // shuffle_hash everywhere: broadcast builds are single-threaded driver
-      // work and sort-merge would sort the fat token arrays
-      .hint("shuffle_hash").join(ph.toDF("id_a", "phash_a"), "id_a")
-      .hint("shuffle_hash").join(ph.toDF("id_b", "phash_b"), "id_b")
+      // shuffle_hash: broadcast builds are single-threaded driver work and
+      // sort-merge would sort the fat token arrays
+      .hint("shuffle_hash").join(rows.toDF("id_a", "phash_a", "tok_a"), "id_a")
+      .hint("shuffle_hash").join(rows.toDF("id_b", "phash_b", "tok_b"), "id_b")
       .withColumn("hamming", bit_count(col("phash_a").bitwiseXOR(col("phash_b"))))
       .where(col("hamming") <= cfg.hammingThreshold)
-      // hash joins: sort-merge would sort the fat token arrays
-      .hint("shuffle_hash").join(tk.toDF("id_a", "tok_a"), "id_a")
-      .hint("shuffle_hash").join(tk.toDF("id_b", "tok_b"), "id_b")
       .withColumn("jaccard", gf.exact_jaccard(col("tok_a"), col("tok_b")))
       .where(col("jaccard") >= cfg.tokenJaccard)
       .select(idStr(col("id_a")).as("id_a"), idStr(col("id_b")).as("id_b"),
         col("hamming"), col("jaccard"))
+  }
+
+  /** suffix-array substring confirm (north_star: "suffix-array substring
+    * pass confirming caption near-dups"): keep Hamming-close candidate pairs
+    * whose captions share a common substring of length ≥ `minLen`, computed
+    * by the suffix-array LCS kernel ([[graft.sketch.SuffixArrays]], exposed
+    * as the `lcs_len` column function). SQL-oracle-equivalent predicate:
+    * lcs(a,b) ≥ L  ⇔  the char L-gram sets of a and b intersect. */
+  def confirmSubstring(candidates: DataFrame, corpus: DataFrame,
+      cfg: Config = defaultConfig, minLen: Int = 12): DataFrame = {
+    val rows = corpus.select(idNum(col("image_id")).as("id"), col("phash"), col("caption"))
+    candidates
+      .hint("shuffle_hash").join(rows.toDF("id_a", "phash_a", "cap_a"), "id_a")
+      .hint("shuffle_hash").join(rows.toDF("id_b", "phash_b", "cap_b"), "id_b")
+      .where(bit_count(col("phash_a").bitwiseXOR(col("phash_b"))) <= cfg.hammingThreshold)
+      .withColumn("lcs", gf.lcs_len(col("cap_a"), col("cap_b")))
+      .where(col("lcs") >= minLen)
+      .select(idStr(col("id_a")).as("id_a"), idStr(col("id_b")).as("id_b"), col("lcs"))
   }
 
   /** full oracle-exact dup-pair query. */

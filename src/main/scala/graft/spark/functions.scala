@@ -74,64 +74,53 @@ object functions {
   def hll_union(regs: Column, np: Int = 12): Column =
     udaf(new Aggs.HllUnionAgg(np), org.apache.spark.sql.Encoders.BINARY).apply(regs)
 
-  /** Register the scalar expressions for SQL use. */
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  /** name → expression builder, the single registration table shared by
+    * [[registerAll]] (temp functions on a live session) and
+    * [[GraftExtensions]] (`spark.sql.extensions` injection at session build,
+    * the spark-submit path). */
+  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = {
     def lit(ex: Expression): Any = ex.eval(null)
     def intArg(ex: Expression): Int = lit(ex).asInstanceOf[Number].intValue()
     def longArg(ex: Expression): Long = lit(ex).asInstanceOf[Number].longValue()
-    reg.createOrReplaceTempFunction("caption_shingles",
-      xs => CaptionShingles(xs.head, intArg(xs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("token_ngrams",
-      xs => TokenNgrams(xs.head, intArg(xs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("phash_bitgrams",
-      xs => PhashBitgrams(xs.head, intArg(xs(1)), intArg(xs(2))), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      xs => MinHashSigExpr(xs.head, intArg(xs(1)), longArg(xs(2))), "scala_udf")
-    reg.createOrReplaceTempFunction("bottomk_sketch",
-      xs => BottomKExpr(xs.head, intArg(xs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64", xs => SimHash64Expr(xs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("band_keys",
-      xs => BandKeysExpr(xs.head, intArg(xs(1)), intArg(xs(2))), "scala_udf")
-    reg.createOrReplaceTempFunction("sig_jaccard",
-      xs => SigJaccard(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("sketch_jaccard",
-      xs => SketchJaccard(xs.head, xs(1), intArg(xs(2))), "scala_udf")
-    reg.createOrReplaceTempFunction("mash_dist",
-      xs => MashDist(xs.head, intArg(xs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("ngram_jaccard",
-      xs => NgramJaccard(xs.head, xs(1), intArg(xs(2))), "scala_udf")
-    reg.createOrReplaceTempFunction("lcs_len", xs => LcsLen(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("omh_similarity",
-      xs => OmhSimilarity(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("hll_init",
-      xs => HllFromFeatures(xs.head, intArg(xs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("hll_card", xs => HllCard(xs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("hll_merge2",
-      xs => HllMergeScalar(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("sketch_containment",
-      xs => SketchContainment(xs.head, xs(1), intArg(xs(2))), "scala_udf")
-    reg.createOrReplaceTempFunction("sketch_cardinality",
-      xs => SketchCardinality(xs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("char_shingle_jaccard",
-      xs => CharShingleJaccard(xs.head, xs(1), intArg(xs(2))), "scala_udf")
-    reg.createOrReplaceTempFunction("minimizers",
-      xs => MinimizersExpr(xs.head, intArg(xs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("omh_sketch",
-      xs => OmhSketchExpr(xs.head, intArg(xs(1)), intArg(xs(2)), intArg(xs(3)), longArg(xs(4))), "scala_udf")
-    reg.createOrReplaceTempFunction("cws_sketch",
-      xs => CwsSketchExpr(xs.head, intArg(xs(1)), intArg(xs(2)), longArg(xs(3))), "scala_udf")
-    reg.createOrReplaceTempFunction("weighted_jaccard",
-      xs => WeightedJaccard(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("hll_jaccard",
-      xs => HllJaccard(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("dna_canonical_kmers",
-      xs => DnaCanonicalKmers(xs.head, intArg(xs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("dna_revcomp", xs => DnaRevComp(xs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("dna_minimizers",
-      xs => DnaMinimizersExpr(xs.head, intArg(xs(1)), intArg(xs(2))), "scala_udf")
-    reg.createOrReplaceTempFunction("exact_jaccard",
-      xs => ExactJaccardSorted(xs.head, xs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_dot", xs => VecDot(xs.head, xs(1)), "scala_udf")
+    Seq(
+      "caption_shingles" -> (xs => CaptionShingles(xs.head, intArg(xs(1)))),
+      "token_ngrams" -> (xs => TokenNgrams(xs.head, intArg(xs(1)))),
+      "phash_bitgrams" -> (xs => PhashBitgrams(xs.head, intArg(xs(1)), intArg(xs(2)))),
+      "minhash_sig" -> (xs => MinHashSigExpr(xs.head, intArg(xs(1)), longArg(xs(2)))),
+      "bottomk_sketch" -> (xs => BottomKExpr(xs.head, intArg(xs(1)))),
+      "simhash64" -> (xs => SimHash64Expr(xs.head)),
+      "band_keys" -> (xs => BandKeysExpr(xs.head, intArg(xs(1)), intArg(xs(2)))),
+      "sig_jaccard" -> (xs => SigJaccard(xs.head, xs(1))),
+      "sketch_jaccard" -> (xs => SketchJaccard(xs.head, xs(1), intArg(xs(2)))),
+      "mash_dist" -> (xs => MashDist(xs.head, intArg(xs(1)))),
+      "ngram_jaccard" -> (xs => NgramJaccard(xs.head, xs(1), intArg(xs(2)))),
+      "lcs_len" -> (xs => LcsLen(xs.head, xs(1))),
+      "omh_similarity" -> (xs => OmhSimilarity(xs.head, xs(1))),
+      "hll_init" -> (xs => HllFromFeatures(xs.head, intArg(xs(1)))),
+      "hll_card" -> (xs => HllCard(xs.head)),
+      "hll_merge2" -> (xs => HllMergeScalar(xs.head, xs(1))),
+      "sketch_containment" -> (xs => SketchContainment(xs.head, xs(1), intArg(xs(2)))),
+      "sketch_cardinality" -> (xs => SketchCardinality(xs.head)),
+      "char_shingle_jaccard" -> (xs => CharShingleJaccard(xs.head, xs(1), intArg(xs(2)))),
+      "minimizers" -> (xs => MinimizersExpr(xs.head, intArg(xs(1)))),
+      "omh_sketch" -> (xs =>
+        OmhSketchExpr(xs.head, intArg(xs(1)), intArg(xs(2)), intArg(xs(3)), longArg(xs(4)))),
+      "cws_sketch" -> (xs => CwsSketchExpr(xs.head, intArg(xs(1)), intArg(xs(2)), longArg(xs(3)))),
+      "weighted_jaccard" -> (xs => WeightedJaccard(xs.head, xs(1))),
+      "hll_jaccard" -> (xs => HllJaccard(xs.head, xs(1))),
+      "dna_canonical_kmers" -> (xs => DnaCanonicalKmers(xs.head, intArg(xs(1)))),
+      "dna_revcomp" -> (xs => DnaRevComp(xs.head)),
+      "dna_minimizers" -> (xs => DnaMinimizersExpr(xs.head, intArg(xs(1)), intArg(xs(2)))),
+      "exact_jaccard" -> (xs => ExactJaccardSorted(xs.head, xs(1))),
+      "vec_dot" -> (xs => VecDot(xs.head, xs(1)))
+    )
+  }
+
+  /** Register the scalar expressions for SQL use on a live session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    sqlBuilders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

@@ -133,6 +133,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(!scanLine.contains("bytes"), s"bytes column not pruned from scan: $scanLine")
   }
 
+  test("substring confirm == char-L-gram brute force (lcs >= L identity)") {
+    val minLen = 12
+    val got = Dedup.confirmSubstring(Dedup.candidatesPhashBlocks(corpus), corpus, minLen = minLen)
+      .select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val rows = corpus.select("image_id", "phash", "caption").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def grams(s: String): Set[String] =
+      (0 to s.length - minLen).map(i => s.substring(i, i + minLen)).toSet
+    val gramsById = rows.map { case (id, _, c) => id -> grams(c) }.toMap
+    val brute = (for {
+      (ia, pa, _) <- rows; (ib, pb, _) <- rows
+      if ia < ib && java.lang.Long.bitCount(pa ^ pb) <= 3 &&
+        gramsById(ia).intersect(gramsById(ib)).nonEmpty
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty)
+    assert(got === brute)
+  }
+
+  test("GraftExtensions injects the SQL functions at the extension point") {
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val ext = new SparkSessionExtensions
+    new graft.spark.GraftExtensions().apply(ext)
+    val reg = spark.sessionState.functionRegistry.clone()
+    org.apache.spark.sql.graft.Bridge.applyInjectedFunctions(ext, reg)
+    for (name <- graft.spark.functions.sqlBuilders.map(_._1))
+      assert(reg.functionExists(FunctionIdentifier(name)), s"$name not injected")
+  }
+
   test("suffix-array LCS confirm column works on pipeline captions") {
     val pairs = Dedup.confirm(Dedup.candidatesPhashBlocks(corpus), corpus)
       .limit(20)
