@@ -171,7 +171,12 @@ object SparkEntry {
     // ---- multimodal decode plumbing (real image decode) ----
     "img_decode_meta" -> ((s, dir) =>
       Decode.imageMeta(corpus(s, dir)).toDF()
-        .select("image_id", "w_dec", "h_dec").orderBy("image_id"))
+        .select("image_id", "w_dec", "h_dec").orderBy("image_id")),
+
+    // real decode → bilinear resize → PNG re-encode, partition-mapped
+    "img_resize_meta" -> ((s, dir) =>
+      Decode.imageResize(corpus(s, dir), 64, 64).toDF()
+        .select("image_id", "w_rs", "h_rs").orderBy("image_id"))
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -351,7 +356,10 @@ object SparkEntry {
            |ORDER BY id_a, id_b""".stripMargin,
 
       "img_decode_meta" ->
-        s"""SELECT image_id, w AS w_dec, h AS h_dec FROM $t ORDER BY image_id""".stripMargin
+        s"""SELECT image_id, w AS w_dec, h AS h_dec FROM $t ORDER BY image_id""".stripMargin,
+
+      "img_resize_meta" ->
+        s"""SELECT image_id, 64 AS w_rs, 64 AS h_rs FROM $t ORDER BY image_id""".stripMargin
     )
   }
 

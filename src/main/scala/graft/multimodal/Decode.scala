@@ -40,6 +40,31 @@ object Decode {
       }
   }
 
+  case class ResizedImage(image_id: String, w_rs: Int, h_rs: Int, png_bytes: Array[Byte])
+
+  /** REAL image resize (bilinear, java.awt) partition-wise: decode → scale to
+    * `(w, h)` → re-encode lossless PNG. The standard normalization stage in
+    * front of embedding/feature models; one decode loop per partition. */
+  def imageResize(images: DataFrame, w: Int, h: Int): Dataset[ResizedImage] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val in = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(in, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedImage(id, w, h, bos.toByteArray)
+        }
+      }
+  }
+
   case class AudioMeta(id: String, n_samples: Long, sample_rate: Int, rms: Double)
 
   /** STUB: no audio codec in this container. Deterministic fake decode —

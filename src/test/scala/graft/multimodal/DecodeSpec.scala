@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.data.SyntheticImages
+
+class DecodeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val corpus = {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    spark.createDataset(
+      (0L until 30L).flatMap(fid => SyntheticImages.family(fid, 42L, fid * 8))
+    ).toDF().cache()
+  }
+
+  test("imageMeta: decoded dims and pHash match the stored columns") {
+    val meta = Decode.imageMeta(corpus).collect().map(m => m.image_id -> m).toMap
+    val rows = corpus.select("image_id", "w", "h", "phash").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val m = meta(r.getString(0))
+      assert(m.w_dec === r.getInt(1) && m.h_dec === r.getInt(2))
+      assert(m.mean_luma >= 0.0 && m.mean_luma <= 255.0)
+      // only FAMILY-BASE rows (id % 8 == 0) store a pHash computed from their
+      // own pixels (dup rows get planted bit-flips of the base pHash); for
+      // base PNG rows the lossless roundtrip makes the recomputed DCT pHash
+      // exact
+      val idNum = r.getString(0).drop(4).toLong
+      if (idNum % 8 == 0 &&
+          corpus.filter(s"image_id = '${r.getString(0)}' and fmt = 'png'").count() == 1)
+        assert(m.phash_dec === r.getLong(3), s"png pHash mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("imageResize: output decodes to the target dims") {
+    val rs = Decode.imageResize(corpus.limit(8), 16, 16).collect()
+    assert(rs.length === 8)
+    for (r <- rs) {
+      assert(r.w_rs === 16 && r.h_rs === 16)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png_bytes))
+      assert(img.getWidth === 16 && img.getHeight === 16)
+    }
+  }
+
+  test("audio stub: deterministic PCM interpretation, rms bounded") {
+    val a1 = Decode.audioMetaStub(corpus.limit(10), "image_id", "bytes").collect()
+      .map(m => m.id -> (m.n_samples, m.rms)).toMap
+    val a2 = Decode.audioMetaStub(corpus.limit(10), "image_id", "bytes").collect()
+      .map(m => m.id -> (m.n_samples, m.rms)).toMap
+    assert(a1 === a2)
+    assert(a1.values.forall { case (n, rms) => n > 0 && rms >= 0.0 && rms <= 32768.0 })
+  }
+
+  test("video frame-sample stub: chunks cover the payload exactly") {
+    val rows = corpus.limit(5).select("image_id", "bytes").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val frames = Decode.videoFrameSampleStub(corpus.limit(5), 4, "image_id", "bytes")
+      .collect().groupBy(_.id)
+    for ((id, fs) <- frames) {
+      assert(fs.map(_.frame_idx).sorted.toSeq === Seq(0, 1, 2, 3))
+      val joined = fs.sortBy(_.frame_idx).flatMap(_.frame_bytes)
+      assert(java.util.Arrays.equals(joined, rows(id)))
+    }
+  }
+}
