@@ -176,7 +176,13 @@ object SparkEntry {
     // real decode → bilinear resize → PNG re-encode, partition-mapped
     "img_resize_meta" -> ((s, dir) =>
       Decode.imageResize(corpus(s, dir), 64, 64).toDF()
-        .select("image_id", "w_rs", "h_rs").orderBy("image_id"))
+        .select("image_id", "w_rs", "h_rs").orderBy("image_id")),
+
+    // per-row payload fidelity vs regenerated ground truth (input_hint:
+    // PNG pixel-exact, JPEG PSNR >= 40 dB, exact caption equality); the
+    // oracle asserts every row passes
+    "img_payload_fidelity" -> ((s, dir) =>
+      Decode.payloadFidelity(corpus(s, dir)).toDF().orderBy("image_id"))
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -359,7 +365,11 @@ object SparkEntry {
         s"""SELECT image_id, w AS w_dec, h AS h_dec FROM $t ORDER BY image_id""".stripMargin,
 
       "img_resize_meta" ->
-        s"""SELECT image_id, 64 AS w_rs, 64 AS h_rs FROM $t ORDER BY image_id""".stripMargin
+        s"""SELECT image_id, 64 AS w_rs, 64 AS h_rs FROM $t ORDER BY image_id""".stripMargin,
+
+      "img_payload_fidelity" ->
+        s"""SELECT image_id, fmt, true AS psnr_ok, true AS caption_ok
+           |FROM $t ORDER BY image_id""".stripMargin
     )
   }
 

@@ -151,8 +151,26 @@ object SyntheticImages {
       writer.setOutput(ios)
       val p = writer.getDefaultWriteParam
       p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-      p.setCompressionQuality(0.97f)
-      writer.write(null, new IIOImage(img, null, null), p)
+      p.setCompressionQuality(0.98f)
+      // force 4:4:4 — the writer's default 4:2:0 chroma subsampling caps
+      // PSNR near 36 dB on this palette; input_hint demands ≥ 40 dB vs the
+      // original pixels for lossy rows
+      val typeSpec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val meta = writer.getDefaultImageMetadata(typeSpec, p)
+      val fmtName = "javax_imageio_jpeg_image_1.0"
+      val tree = meta.getAsTree(fmtName)
+      def walk(n: org.w3c.dom.Node): Unit = {
+        if (n.getNodeName == "componentSpec") {
+          val e = n.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          e.setAttribute("HsamplingFactor", "1")
+          e.setAttribute("VsamplingFactor", "1")
+        }
+        var c = n.getFirstChild
+        while (c != null) { walk(c); c = c.getNextSibling }
+      }
+      walk(tree)
+      meta.setFromTree(fmtName, tree)
+      writer.write(null, new IIOImage(img, null, meta), p)
       writer.dispose()
       ios.close()
     } else {
@@ -213,26 +231,37 @@ object SyntheticImages {
 
   // ---- family emission ----
 
-  def family(famId: Long, seed: Long, globalIndexBase: Long): Seq[Row] = {
+  /** one family's ground truth BEFORE byte encoding: the exact RNG replay of
+    * [[family]], minus the (RNG-free) `encode` step. Exposed so payload-
+    * fidelity checks can regenerate the original pixels/captions per row and
+    * compare against what decodes from the stored bytes. */
+  case class Truth(
+      image_id: String, pixels: Array[Int], fmt: String, caption: String, phash: Long)
+
+  def familyTruth(famId: Long, seed: Long, globalIndexBase: Long): Seq[Truth] = {
     val g = new SplitMix64(HashKernels.fmix64Seeded(famId, seed))
     val pixels = basePixels(g)
     val phash = dctPhash(pixels)
     val capTokens = baseCaption(g)
     val u = g.nextDouble()
     val nDups = if (u < 0.55) 0 else 1 + ((g.nextLong() >>> 1) % 4).toInt
-    val rows = Vector.newBuilder[Row]
+    val rows = Vector.newBuilder[Truth]
     var d = 0
     while (d <= nDups) {
       val fmt = if (((g.nextLong() >>> 1) & 1L) == 0L) "png" else "jpeg"
       val px = if (d == 0) pixels else mutatePixels(pixels, g)
       val ph = if (d == 0) phash else flipBits(phash, ((g.nextLong() >>> 1) % 4).toInt, g) // 0..3 flips
       val cap = if (d == 0) capTokens.mkString(" ") else churnCaption(capTokens, g)
-      val id = f"img_${globalIndexBase + d}%010d"
-      rows += Row(id, encode(px, fmt), Size, Size, fmt, cap, ph, famId)
+      rows += Truth(f"img_${globalIndexBase + d}%010d", px, fmt, cap, ph)
       d += 1
     }
     rows.result()
   }
+
+  def family(famId: Long, seed: Long, globalIndexBase: Long): Seq[Row] =
+    familyTruth(famId, seed, globalIndexBase).map { t =>
+      Row(t.image_id, encode(t.pixels, t.fmt), Size, Size, t.fmt, t.caption, t.phash, famId)
+    }
 
   /** rows per scale factor directory name (deterministic mapping). */
   def familiesFor(sfDir: String): Int = {

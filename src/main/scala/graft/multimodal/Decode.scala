@@ -40,6 +40,42 @@ object Decode {
       }
   }
 
+  case class Fidelity(
+      image_id: String, fmt: String, psnr_ok: Boolean, caption_ok: Boolean)
+
+  /** Per-row payload fidelity vs ground truth (`BASELINE.json.input_hint`:
+    * "decoded-pixel allclose, PSNR ≥ 40 dB for lossy formats, exact caption
+    * equality"): regenerates each row's ORIGINAL pixels and caption by
+    * replaying the deterministic generator for its family
+    * ([[SyntheticImages.familyTruth]]), decodes the STORED bytes, and checks
+    * PNG rows decode pixel-exact, JPEG rows decode at PSNR ≥ 40 dB, and the
+    * stored caption equals the generated one. Partition-mapped narrow stage;
+    * family truths are replayed once per family (rows of a family are
+    * adjacent in generation order, so a last-family cache hits). */
+  def payloadFidelity(images: DataFrame, seed: Long = 42L): Dataset[Fidelity] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images
+      .select(col("image_id"), col("bytes"), col("fmt"), col("caption"), col("truth_cluster"))
+      .as[(String, Array[Byte], String, String, Long)]
+      .mapPartitions { it =>
+        var cachedFam = -1L
+        var cached: Seq[SyntheticImages.Truth] = Nil
+        it.map { case (id, bytes, fmt, caption, famId) =>
+          if (famId != cachedFam) {
+            cached = SyntheticImages.familyTruth(famId, seed, famId * 8)
+            cachedFam = famId
+          }
+          val truth = cached.find(_.image_id == id).getOrElse(
+            throw new IllegalStateException(s"no generated truth for $id in family $famId"))
+          val decoded = SyntheticImages.decodePixels(bytes)
+          val p = SyntheticImages.psnr(truth.pixels, decoded)
+          val psnrOk = if (fmt == "png") p.isPosInfinity else p >= 40.0
+          Fidelity(id, fmt, psnrOk, caption == truth.caption)
+        }
+      }
+  }
+
   case class ResizedImage(image_id: String, w_rs: Int, h_rs: Int, png_bytes: Array[Byte])
 
   /** REAL image resize (bilinear, java.awt) partition-wise: decode → scale to

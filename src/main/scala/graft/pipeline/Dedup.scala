@@ -74,42 +74,127 @@ object Dedup {
   /** number of pigeonhole blocks for the configured Hamming threshold. */
   def blocksFor(cfg: Config): Int = cfg.hammingThreshold + 1
 
-  /** Salt-and-replicate self-join pair generation over an LSH-keyed frame
-    * `(id, phash, bv)`: rows in buckets larger than `hotThreshold` are
-    * salted into `saltChunks` sub-keys on the left side and replicated to
-    * every salt on the right side, so one pathological bucket (a giant
-    * duplicate cluster sharing a band/block value) fans out across
-    * `saltChunks` tasks instead of serializing in one; normal buckets pay
-    * zero replication. The pHash rides along BOTH join sides so the cheap
-    * Hamming predicate runs inside the join's output stage (whole-stage
-    * codegen) — the raw per-bucket cross product (10-100× the surviving
-    * pairs) is filtered before it ever reaches the `distinct` shuffle. The
-    * generated pair set is exactly the Hamming-filtered per-bucket cross
-    * product (every pair appears under the left row's salt exactly once) —
-    * correctness unchanged, verified by the oracle gate. */
+  /** Pair generation over an LSH-keyed frame `(id, phash, bv)`.
+    *
+    * ONE wide shuffle: `repartition(bv)` co-locates every bucket, a
+    * bv-sort within each partition makes buckets contiguous *runs*, and a
+    * streaming per-partition walk ([[BucketRunPairs]]) emits each run's
+    * Hamming-filtered cross product from a tight primitive loop. Singleton
+    * runs (typically 90%+ of banded rows) are skipped with ZERO allocation,
+    * and the raw cross product (10-100× the surviving pairs) never
+    * materializes — earlier formulations paid for both (a self-join
+    * shuffled the banded set four times and materialized every in-bucket
+    * pair; a `collect_list` aggregation built buffers for tens of millions
+    * of singleton buckets it then threw away).
+    *
+    * Pathological buckets (a giant duplicate cluster sharing a band/block
+    * value, > `hotThreshold` members) would serialize one task on an O(n²)
+    * walk, so the walk skips them and they take the classic
+    * salt-and-replicate self-join instead: left side salted into
+    * `saltChunks` sub-keys, right side replicated to every salt, fanning
+    * the bucket across `saltChunks` tasks. Bucket sizes and the hot subset
+    * are computed FROM THE SAME repartitioned exchange (the bv hash
+    * partitioning satisfies the groupBy distribution, so Spark plans no
+    * second wide shuffle). Both branches emit exactly the Hamming-filtered
+    * per-bucket cross product — correctness unchanged, verified by
+    * SaltingSpec and the DuckDB oracle gate. */
   private[pipeline] def saltedBucketPairs(keyed: DataFrame, maxHamming: Int,
       hotThreshold: Int, saltChunks: Int): DataFrame = {
-    val sizes = keyed.groupBy("bv").agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") >= 2) // singleton buckets cannot produce pairs —
-                                   // drop them before the self-join (typically
-                                   // 90%+ of banded rows)
-    val k = keyed.join(sizes, Seq("bv"))
-      .withColumn("hot", col("bucket_n") > hotThreshold)
-    val left = k.select(col("bv"),
-      when(col("hot"), pmod(col("id"), lit(saltChunks))).otherwise(lit(0L)).as("salt"),
-      col("id").as("id_a"), col("phash").as("phash_a"))
-    val right = k.select(col("bv"), col("id").as("id_b"), col("phash").as("phash_b"),
-        when(col("hot"), sequence(lit(0L), lit(saltChunks.toLong - 1))).otherwise(array(lit(0L)))
-          .as("salts"))
-      .withColumn("salt", explode(col("salts")))
-      .drop("salts")
-    // the self-join sides are the same order of magnitude — force a shuffled
-    // hash join so Catalyst never tries to broadcast-build millions of rows
-    left.hint("shuffle_hash").join(right, Seq("bv", "salt"))
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val parted = keyed.select(col("bv"), col("id"), col("phash"))
+      .repartition(col("bv"))
+    val small = parted.sortWithinPartitions(col("bv")).as[(Long, Long, Long)]
+      .mapPartitions(it => new BucketRunPairs(it, maxHamming, hotThreshold))
+      .toDF("id_a", "id_b")
+    // hot branches: reuse the repartitioned exchange (bv hash partitioning
+    // satisfies the groupBy distribution → no second wide shuffle, no sort)
+    val hotKeys = parted.groupBy("bv").agg(count(lit(1)).as("n"))
+      .where(col("n") > hotThreshold).select("bv")
+    val hotLeft = parted.join(broadcast(hotKeys), "bv")
+      .select(col("bv"), col("id").as("id_a"), col("phash").as("phash_a"),
+        pmod(col("id"), lit(saltChunks.toLong)).as("salt"))
+    val hotRight = parted.join(broadcast(hotKeys), "bv")
+      .select(col("bv"), col("id").as("id_b"), col("phash").as("phash_b"),
+        explode(sequence(lit(0L), lit(saltChunks.toLong - 1))).as("salt"))
+    // the hot self-join sides are the same order of magnitude — force a
+    // shuffled hash join so Catalyst never tries to broadcast-build them
+    val hotPairs = hotLeft.hint("shuffle_hash").join(hotRight, Seq("bv", "salt"))
       .where(col("id_a") < col("id_b") &&
         bit_count(col("phash_a").bitwiseXOR(col("phash_b"))) <= maxHamming)
       .select("id_a", "id_b")
-      .distinct()
+    small.union(hotPairs).distinct()
+  }
+
+  /** Streaming walk of bv-sorted rows: buffers one bucket run at a time
+    * (bounded by `hotThreshold`), emits its Hamming-filtered pairs, skips
+    * singleton and oversized runs. Input must be sorted by bv within the
+    * partition; every row of a bv is in this partition (hash partitioned). */
+  private final class BucketRunPairs(
+      rows: Iterator[(Long, Long, Long)], maxHamming: Int, hotThreshold: Int)
+      extends Iterator[(Long, Long)] {
+    private val cap = hotThreshold
+    private val ids = new Array[Long](cap)
+    private val phs = new Array[Long](cap)
+    private var n = 0 // buffered run length
+    private var a = 0 // pair cursor over the buffered run
+    private var b = 1
+    // one-row lookahead: the first row of the next run
+    private var hasHeld = false
+    private var heldBv = 0L
+    private var heldId = 0L
+    private var heldPh = 0L
+    private var nextPair: (Long, Long) = _
+    advance()
+
+    /** buffer the next complete run into ids/phs; oversized runs are
+      * consumed but left empty (the hot branch owns them). False at end. */
+    private def fillRun(): Boolean = {
+      if (!hasHeld) {
+        if (!rows.hasNext) return false
+        val (bv, id, ph) = rows.next()
+        heldBv = bv; heldId = id; heldPh = ph
+      }
+      val bv = heldBv
+      ids(0) = heldId; phs(0) = heldPh
+      n = 1
+      hasHeld = false
+      var overflow = false
+      var done = false
+      while (!done && rows.hasNext) {
+        val (bv2, id, ph) = rows.next()
+        if (bv2 != bv) {
+          heldBv = bv2; heldId = id; heldPh = ph; hasHeld = true; done = true
+        } else if (n == cap) overflow = true
+        else { ids(n) = id; phs(n) = ph; n += 1 }
+      }
+      if (overflow) n = 0
+      true
+    }
+
+    private def advance(): Unit = {
+      while (true) {
+        while (a < n - 1) {
+          val pa = phs(a)
+          while (b < n) {
+            val j = b
+            b += 1
+            if (java.lang.Long.bitCount(pa ^ phs(j)) <= maxHamming) {
+              val x = ids(a)
+              val y = ids(j)
+              nextPair = if (x < y) (x, y) else (y, x)
+              return
+            }
+          }
+          a += 1; b = a + 1
+        }
+        a = 0; b = 1
+        if (!fillRun()) { nextPair = null; return }
+      }
+    }
+
+    override def hasNext: Boolean = nextPair != null
+    override def next(): (Long, Long) = { val r = nextPair; advance(); r }
   }
 
   /** exact-cover candidate pairs (numeric ids): same interleaved block key,

@@ -112,28 +112,45 @@ object MinHash {
     }
   }
 
-  /** permutation seeds: splitmix64 stream from `seed` (deterministic). */
-  def permSeeds(numPerm: Int, seed: Long): Array[Long] = {
+  /** affine permutation constants: splitmix64 stream from `seed`
+    * (deterministic). Layout: first half multipliers (forced odd ⇒ each
+    * `a_p·x + b_p mod 2^64` is a bijection of the hash space), second half
+    * addends. */
+  def permAffine(numPerm: Int, seed: Long): Array[Long] = {
     val g = new SplitMix64(seed)
-    Array.fill(numPerm)(g.nextLong())
+    val out = new Array[Long](2 * numPerm)
+    var p = 0
+    while (p < numPerm) { out(p) = g.nextLong() | 1L; p += 1 }
+    while (p < 2 * numPerm) { out(p) = g.nextLong(); p += 1 }
+    out
   }
 
-  /** k-permutation signature: sig(p) = min_u over features of fmix64(x ^ seed_p).
-    * Empty feature set → all-(-1L) (unsigned max) sentinel. */
-  def minhashSig(features: Array[Long], seeds: Array[Long]): Array[Long] = {
-    val sig = new Array[Long](seeds.length)
-    java.util.Arrays.fill(sig, -1L)
+  /** k-permutation signature over 64-bit affine permutations:
+    * `sig(p) = min_x (a_p·fmix64(x) + b_p)` (mod 2^64; a_p odd ⇒ bijection) —
+    * the same construction as Spark MLlib's `MinHashLSH`, widened to 64 bits.
+    * The fmix64 pre-mix decorrelates raw features once per feature, so the
+    * cheap affine family behaves as independent permutations (accuracy
+    * property-tested in SketchAlgebraSpec). The inner loop is branch-free
+    * over contiguous arrays (biased signed min) so the JIT can vectorize the
+    * mul/add/min across the permutation axis (AVX-512DQ has 64-bit vpmullq /
+    * vpminsq). Empty feature set → all-(-1L) (unsigned max) sentinel. */
+  def minhashSig(features: Array[Long], affine: Array[Long]): Array[Long] = {
+    val m = affine.length >> 1
+    val sig = new Array[Long](m)
+    java.util.Arrays.fill(sig, Long.MaxValue) // == unsigned max, sign-biased
     var i = 0
     while (i < features.length) {
-      val x = features(i)
+      val h0 = fmix64(features(i))
       var p = 0
-      while (p < seeds.length) {
-        val h = fmix64(x ^ seeds(p))
-        if (unsignedLess(h, sig(p))) sig(p) = h
+      while (p < m) {
+        val v = (affine(p) * h0 + affine(m + p)) ^ Long.MinValue
+        sig(p) = Math.min(sig(p), v)
         p += 1
       }
       i += 1
     }
+    var p = 0
+    while (p < m) { sig(p) ^= Long.MinValue; p += 1 } // un-bias
     sig
   }
 

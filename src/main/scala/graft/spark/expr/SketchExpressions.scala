@@ -59,13 +59,13 @@ case class PhashBitgrams(child: Expression, gram: Int, step: Int)
   * (`/root/reference/src/MinHash.cpp:465-746`). */
 case class MinHashSigExpr(child: Expression, numPerm: Int, seed: Long)
     extends UnaryExpression with KernelCall {
-  @transient private lazy val seeds: Array[Long] = MinHash.permSeeds(numPerm, seed)
+  @transient private lazy val affine: Array[Long] = MinHash.permAffine(numPerm, seed)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   protected override def nullSafeEval(t: Any): Any =
-    new GenericArrayData(MinHash.minhashSig(t.asInstanceOf[ArrayData].toLongArray(), seeds))
+    new GenericArrayData(MinHash.minhashSig(t.asInstanceOf[ArrayData].toLongArray(), affine))
   def compute(features: ArrayData): ArrayData =
-    new GenericArrayData(MinHash.minhashSig(features.toLongArray(), seeds))
+    new GenericArrayData(MinHash.minhashSig(features.toLongArray(), affine))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("minhashSigExpr", this, classOf[MinHashSigExpr].getName)
     defineCodeGen(ctx, ev, c => s"$ref.compute($c)")

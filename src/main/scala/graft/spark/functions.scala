@@ -36,6 +36,8 @@ object functions {
 
   // LSH
   def band_keys(sig: Column, bands: Int, rows: Int): Column = c(BandKeysExpr(e(sig), bands, rows))
+  def bucket_pairs(members: Column, maxHamming: Int): Column =
+    c(BucketPairsGen(e(members), maxHamming))
 
   // estimators
   def sig_jaccard(a: Column, b: Column): Column = c(SigJaccard(e(a), e(b)))

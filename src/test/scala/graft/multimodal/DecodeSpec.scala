@@ -69,4 +69,12 @@ class DecodeSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(joined, rows(id)))
     }
   }
+  test("payloadFidelity: every row decodes allclose to regenerated ground truth") {
+    val fid = Decode.payloadFidelity(corpus).collect()
+    assert(fid.length === corpus.count())
+    val bad = fid.filterNot(f => f.psnr_ok && f.caption_ok)
+    assert(bad.isEmpty, s"fidelity failures: ${bad.take(5).mkString(", ")}")
+    // both formats must actually be exercised
+    assert(fid.exists(_.fmt == "png") && fid.exists(_.fmt == "jpeg"))
+  }
 }

@@ -94,7 +94,7 @@ class PipelineSpec extends AnyFunSuite {
     // single-pass per group: concat text features group-wise then sketch once
     val single = docs.as[(Int, String)].collect().groupBy(_._1).map { case (g, rows) =>
       val feats = rows.flatMap(r => graft.sketch.Shingles.charShingles(r._2, 4)).toArray
-      g -> (graft.sketch.MinHash.minhashSig(feats, graft.sketch.MinHash.permSeeds(128, 42)).toSeq,
+      g -> (graft.sketch.MinHash.minhashSig(feats, graft.sketch.MinHash.permAffine(128, 42)).toSeq,
         graft.sketch.MinHash.bottomK(feats, 64).toSeq)
     }
     assert(merged === single)

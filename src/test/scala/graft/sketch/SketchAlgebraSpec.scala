@@ -79,14 +79,14 @@ class SketchAlgebraSpec extends AnyFunSuite {
   // ---- k-perm signature ----
 
   test("128-perm signature jaccard estimate within 4/sqrt(128)") {
-    val seeds = MinHash.permSeeds(128, 42)
+    val seeds = MinHash.permAffine(128, 42)
     val (a, b, exactJ) = overlappingSets(13, 5000, 3000)
     val est = MinHash.sigJaccard(MinHash.minhashSig(a, seeds), MinHash.minhashSig(b, seeds))
     assert(math.abs(est - exactJ) <= 4.0 / math.sqrt(128.0), s"exact=$exactJ est=$est")
   }
 
   test("signature merge law: sig(A ∪ B) = mergeSig(sig(A), sig(B))") {
-    val seeds = MinHash.permSeeds(128, 42)
+    val seeds = MinHash.permAffine(128, 42)
     val a = randSet(15, 1000)
     val b = randSet(16, 1000)
     assert(MinHash.mergeSig(MinHash.minhashSig(a, seeds), MinHash.minhashSig(b, seeds)).toSeq
@@ -94,7 +94,7 @@ class SketchAlgebraSpec extends AnyFunSuite {
   }
 
   test("band keys: equal sigs share all bands; disjoint rarely collide") {
-    val seeds = MinHash.permSeeds(128, 42)
+    val seeds = MinHash.permAffine(128, 42)
     val a = MinHash.minhashSig(randSet(17, 500), seeds)
     val b = MinHash.minhashSig(randSet(18, 500), seeds)
     assert(MinHash.bandKeys(a, 32, 4).toSeq === MinHash.bandKeys(a, 32, 4).toSeq)
