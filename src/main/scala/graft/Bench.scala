@@ -171,8 +171,8 @@ object Bench {
            |
            || query | seconds |
            ||---|---|
-           |${queryTimes.map { case (k, v) => s"|| $k | ${f"$v%.2f"} |" }.mkString("\n")}
-           |""".stripMargin
+           |""".stripMargin +
+        queryTimes.map { case (k, v) => s"| $k | ${f"$v%.2f"} |" }.mkString("", "\n", "\n")
       Files.createDirectories(Paths.get("/root/repo/BENCH"))
       Files.writeString(Paths.get("/root/repo/BENCH/BASELINE.md"), md)
     }

@@ -113,6 +113,11 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) =>
       DocOps.fingerprints(docs(s, dir)).orderBy("doc_id", "fp")),
 
+    // oracle-gated winnowing variant: md5 char-8-grams, window-4 lexicographic
+    // min — byte-identical in DuckDB, unlike the fast rolling-hash channel
+    "doc_fingerprints_md5" -> ((s, dir) =>
+      DocOps.fingerprintsMd5(docs(s, dir)).orderBy("doc_id", "fp")),
+
     "doc_distinct_tokens_by_source" -> ((s, dir) =>
       DocOps.distinctTokensBySource(docs(s, dir)).orderBy("source")),
 
@@ -332,6 +337,17 @@ object SparkEntry {
            |  FROM $docsT)
            |SELECT doc_id, seq, reverse(translate(seq, 'ACGT', 'TGCA')) AS rc
            |FROM d ORDER BY doc_id""".stripMargin,
+
+      "doc_fingerprints_md5" ->
+        s"""WITH g AS (SELECT doc_id,
+           |  list_transform(range(1, length(text) - 6),
+           |                 i -> md5(substr(text, i::INT, 8))) AS grams
+           |  FROM $docsT WHERE length(text) >= 11),
+           |f AS (SELECT doc_id,
+           |  list_distinct(list_transform(range(1, len(grams) - 2),
+           |                               j -> list_min(grams[j:j+3]))) AS fps
+           |  FROM g)
+           |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin,
 
       "doc_distinct_tokens_by_source" ->
         s"""SELECT source, count(DISTINCT tk) AS n_distinct_tokens

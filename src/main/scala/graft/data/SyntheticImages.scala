@@ -25,6 +25,10 @@ import graft.hash.HashKernels.SplitMix64
   */
 object SyntheticImages {
 
+  // in-memory image streams: the default file-backed ImageIO cache writes a
+  // temp file per encode/decode call — measured ~3.4 core-ms per 32×32 image
+  ImageIO.setUseCache(false)
+
   val Size = 32
 
   /** fixed 1000-word deterministic vocabulary. */
@@ -269,7 +273,9 @@ object SyntheticImages {
     name match {
       case "sf0.001" => 1200
       case "sf0.01"  => 12000
-      case "sf0.1"   => 1000000 // sized so the local[8] e2e run takes >= 60 s (BASELINE.md)
+      case "sf0.1"   => 2000000 // sized so the local[8] e2e run takes >= 60 s
+                                // (BASELINE.md protocol; re-sized after the
+                                // run-walk/marker pipeline got ~1.5× faster)
       case _         => 12000
     }
   }

@@ -169,6 +169,23 @@ object DocOps {
     docs.select(col("doc_id"),
       explode(gf.minimizers(gf.caption_shingles(col("text"), k), w)).as("fp"))
 
+  /** Winnowing fingerprints in an SQL-oracle-expressible form: char k-grams
+    * hashed with md5 (identical hex in Spark and DuckDB), sliding-window-w
+    * lexicographic minimum, distinct per document. Composed entirely from
+    * built-in codegen'd functions (`transform`/`slice`/`array_min`), so the
+    * whole stage is one narrow whole-stage-codegen projection — the
+    * oracle-gated counterpart of the fast rolling-hash [[fingerprints]]. */
+  def fingerprintsMd5(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    docs
+      .where(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substring(text, i, $k)))")
+          .as("grams"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          expr(s"transform(sequence(1, size(grams) - ${w - 1}), j -> array_min(slice(grams, j, $w)))")))
+          .as("fp"))
+
   /** exact + HLL distinct-token counts per source. */
   def distinctTokensBySource(docs: DataFrame): DataFrame =
     docs.select(col("source"), explode(array_distinct(toks)).as("t"))

@@ -102,19 +102,38 @@ object Dedup {
       hotThreshold: Int, saltChunks: Int): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
-    val parted = keyed.select(col("bv"), col("id"), col("phash"))
+    // ONE pass of the expensive upstream in the common case: the walk
+    // consumes the single wide shuffle and, when it meets an oversized run,
+    // emits a MARKER row (id_a = Long.MinValue, id_b = bv) instead of that
+    // run's pairs. Only the (small) walk OUTPUT is checkpointed — surviving
+    // pairs + rare markers — never the 30×-larger keyed frame; the upstream
+    // re-executes only in the pathological hot case, filtered to hot
+    // buckets. (Earlier designs either re-ran the upstream per consumer —
+    // Catalyst's column pruning specializes each consumer's exchange
+    // subplan so ReuseExchange never fires — or checkpointed the full keyed
+    // frame, whose extra GBs of block I/O erased the win in the
+    // bandwidth-bound 32-core regime.)
+    val walked = keyed.select(col("bv"), col("id"), col("phash"))
       .repartition(col("bv"))
-    val small = parted.sortWithinPartitions(col("bv")).as[(Long, Long, Long)]
+      .sortWithinPartitions(col("bv"))
+      .as[(Long, Long, Long)]
       .mapPartitions(it => new BucketRunPairs(it, maxHamming, hotThreshold))
       .toDF("id_a", "id_b")
-    // hot branches: reuse the repartitioned exchange (bv hash partitioning
-    // satisfies the groupBy distribution → no second wide shuffle, no sort)
-    val hotKeys = parted.groupBy("bv").agg(count(lit(1)).as("n"))
-      .where(col("n") > hotThreshold).select("bv")
-    val hotLeft = parted.join(broadcast(hotKeys), "bv")
+      .localCheckpoint()
+    val hotBvs = walked.where(col("id_a") === Long.MinValue)
+      .select(col("id_b")).distinct().as[Long].collect()
+    val small = walked.where(col("id_a") =!= Long.MinValue)
+    if (hotBvs.isEmpty) return small.distinct()
+    // pathological path: giant duplicate clusters sharing a band/block value
+    // would serialize one task on an O(n²) walk — salt-and-replicate
+    // self-join fans each hot bucket across `saltChunks` tasks. The keyed
+    // frame is recomputed ONCE, filtered to the hot buckets, and
+    // checkpointed (tiny: only hot-bucket members).
+    val hotKeyed = keyed.where(col("bv").isInCollection(hotBvs)).localCheckpoint()
+    val hotLeft = hotKeyed
       .select(col("bv"), col("id").as("id_a"), col("phash").as("phash_a"),
         pmod(col("id"), lit(saltChunks.toLong)).as("salt"))
-    val hotRight = parted.join(broadcast(hotKeys), "bv")
+    val hotRight = hotKeyed
       .select(col("bv"), col("id").as("id_b"), col("phash").as("phash_b"),
         explode(sequence(lit(0L), lit(saltChunks.toLong - 1))).as("salt"))
     // the hot self-join sides are the same order of magnitude — force a
@@ -128,9 +147,11 @@ object Dedup {
 
   /** Streaming walk of bv-sorted rows: buffers one bucket run at a time
     * (bounded by `hotThreshold`), emits its Hamming-filtered pairs, skips
-    * singleton and oversized runs. Input must be sorted by bv within the
-    * partition; every row of a bv is in this partition (hash partitioned). */
-  private final class BucketRunPairs(
+    * singleton runs, and reports each oversized run as one MARKER pair
+    * `(Long.MinValue, bv)` so the caller can route it to the salted hot
+    * path. Input must be sorted by bv within the partition; every row of a
+    * bv is in this partition (hash partitioned). */
+  private[pipeline] final class BucketRunPairs(
       rows: Iterator[(Long, Long, Long)], maxHamming: Int, hotThreshold: Int)
       extends Iterator[(Long, Long)] {
     private val cap = hotThreshold
@@ -147,11 +168,13 @@ object Dedup {
     private var nextPair: (Long, Long) = _
     advance()
 
-    /** buffer the next complete run into ids/phs; oversized runs are
-      * consumed but left empty (the hot branch owns them). False at end. */
-    private def fillRun(): Boolean = {
+    /** buffer the next complete run into ids/phs. Returns -1 at input end,
+      * 0 for a buffered run, 1 for an oversized run (fully consumed, not
+      * buffered; its bv is reported via markerBv). */
+    private var markerBv = 0L
+    private def fillRun(): Int = {
       if (!hasHeld) {
-        if (!rows.hasNext) return false
+        if (!rows.hasNext) return -1
         val (bv, id, ph) = rows.next()
         heldBv = bv; heldId = id; heldPh = ph
       }
@@ -168,8 +191,7 @@ object Dedup {
         } else if (n == cap) overflow = true
         else { ids(n) = id; phs(n) = ph; n += 1 }
       }
-      if (overflow) n = 0
-      true
+      if (overflow) { n = 0; markerBv = bv; 1 } else 0
     }
 
     private def advance(): Unit = {
@@ -189,7 +211,11 @@ object Dedup {
           a += 1; b = a + 1
         }
         a = 0; b = 1
-        if (!fillRun()) { nextPair = null; return }
+        fillRun() match {
+          case -1 => nextPair = null; return
+          case 1  => nextPair = (Long.MinValue, markerBv); return
+          case _  => // buffered run: loop back into the pair walk
+        }
       }
     }
 
