@@ -133,6 +133,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(!scanLine.contains("bytes"), s"bytes column not pruned from scan: $scanLine")
   }
 
+  test("plan quality: candidate generation is one wide shuffle, no hot branch when no hot buckets") {
+    val path = java.nio.file.Files.createTempDirectory("planq2").toString
+    corpus.write.mode("overwrite").parquet(path)
+    val cand = Dedup.candidatesPhashBlocks(spark.read.parquet(path))
+    // the eager checkpoint inside already ran the walk; the remaining plan
+    // must be: scan of the checkpointed walk output -> filter markers ->
+    // distinct (one exchange) -- the expensive upstream appears nowhere
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("phash_block_keys"), "upstream re-executed past the checkpoint")
+    assert(!plan.contains("Scan parquet"), "corpus re-scanned past the checkpoint")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected at most the distinct's exchange, got $exchanges:\n$plan")
+  }
+
   test("substring confirm == char-L-gram brute force (lcs >= L identity)") {
     val minLen = 12
     val got = Dedup.confirmSubstring(Dedup.candidatesPhashBlocks(corpus), corpus, minLen = minLen)
