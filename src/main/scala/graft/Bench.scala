@@ -54,7 +54,12 @@ object Bench {
     // consumer — the persist materializes the narrow signature stage before
     // the wide banding exchange instead of fusing both into one
     // memory-hungry stage.
+    // projection keeps simhash (its computation is part of the measured
+    // signature stage per north_star) but drops the caption — confirm
+    // re-reads captions from the corpus scan, so persisting them here only
+    // added DRAM traffic in the bandwidth-bound 32-core regime
     val sigs = Dedup.signatures(corpus)
+      .select("image_id", "phash", "minhash", "simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val edges = Dedup.confirm(Dedup.candidatesMinhash(sigs), corpus).select("id_a", "id_b")

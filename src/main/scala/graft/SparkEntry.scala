@@ -75,11 +75,8 @@ object SparkEntry {
 
     // banded 128-perm MinHash LSH channel (probabilistic; recall tested in
     // PipelineSpec) — rows-only driver check
-    "dup_pairs_minhash" -> ((s, dir) => {
-      val c = corpus(s, dir)
-      Dedup.confirm(Dedup.candidatesMinhash(Dedup.signatures(c)), c)
-        .select("id_a", "id_b").orderBy("id_a", "id_b")
-    }),
+    "dup_pairs_minhash" -> ((s, dir) =>
+      Dedup.dupPairsMinhash(corpus(s, dir)).orderBy("id_a", "id_b")),
 
     // per-partition HLL lineage metrics — rows-only (estimates)
     "cluster_metrics" -> ((s, dir) => {
@@ -173,6 +170,19 @@ object SparkEntry {
     "embed_knn_ivf" -> ((s, dir) =>
       Ann.ivfTopK(embeds(s, dir), 10).orderBy("query_id", "rank")),
 
+    // ---- event-time analytics (events table) ----
+    "events_windowed" -> ((s, dir) =>
+      graft.events.EventOps.windowedCounts(events(s, dir))
+        .orderBy("win_start", "event_type")),
+
+    "events_sessions" -> ((s, dir) =>
+      graft.events.EventOps.sessions(events(s, dir))
+        .orderBy("user_id", "session_seq")),
+
+    "events_user_session_stats" -> ((s, dir) =>
+      graft.events.EventOps.userSessionStats(events(s, dir))
+        .orderBy("user_id")),
+
     // ---- multimodal decode plumbing (real image decode) ----
     "img_decode_meta" -> ((s, dir) =>
       Decode.imageMeta(corpus(s, dir)).toDF()
@@ -195,6 +205,9 @@ object SparkEntry {
 
   private def embeds(s: SparkSession, dir: String): DataFrame =
     tuned(s).read.parquet(s"$dir/embeddings.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    tuned(s).read.parquet(s"$dir/events.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -355,6 +368,47 @@ object SparkEntry {
            |      FROM $docsT)
            |GROUP BY source ORDER BY source""".stripMargin,
 
+      "events_windowed" ->
+        s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+           |  count(*) AS n, round(sum(value), 6) AS sum_value
+           |FROM $evT GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+      "events_sessions" ->
+        s"""WITH o AS (SELECT user_id, ts, event_id,
+           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |  FROM $evT),
+           |f AS (SELECT user_id, ts, event_id,
+           |    CASE WHEN prev_ts IS NULL
+           |         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns
+           |  FROM o),
+           |s AS (SELECT user_id, ts,
+           |    (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                  ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+           |  FROM f)
+           |SELECT user_id, session_seq, count(*) AS n_events,
+           |  min(ts) AS session_start, max(ts) AS session_end
+           |FROM s GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin,
+
+      "events_user_session_stats" ->
+        s"""WITH o AS (SELECT user_id, ts, event_id,
+           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |  FROM $evT),
+           |f AS (SELECT user_id, ts, event_id,
+           |    CASE WHEN prev_ts IS NULL
+           |         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns
+           |  FROM o),
+           |s AS (SELECT user_id, ts,
+           |    (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                  ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+           |  FROM f),
+           |g AS (SELECT user_id, session_seq, count(*) AS n_events
+           |      FROM s GROUP BY user_id, session_seq)
+           |SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events,
+           |  max(n_events) AS max_session_events,
+           |  round(avg(n_events), 6) AS avg_session_events
+           |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
       "embed_knn" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embT),
            |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -391,6 +445,7 @@ object SparkEntry {
 
   private def docsT = "read_parquet('/root/testdata/sf0.01/documents.parquet')"
   private def embT = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+  private def evT = "read_parquet('/root/testdata/sf0.01/events.parquet')"
 
   /** exact 3-gram jaccard pairs — same inverted-index formulation as the
     * Spark plan (hash-free on the DuckDB side: string grams). */

@@ -287,6 +287,20 @@ object Dedup {
     confirm(candidatesPhashBlocks(corpus, cfg), corpus, cfg)
       .select("id_a", "id_b")
 
+  /** full minhash-channel dup-pair query. The signature projection is
+    * materialized FIRST: the salted-bucket hot path re-executes its input
+    * frame filtered to hot buckets, and with signatures inline that re-run
+    * repeats the entire 128-perm signature stage over the full corpus —
+    * measured 65-70 s vs 19 s at the 4.25M-row corpus (StageProbe,
+    * local[32]). One localCheckpoint of (id, phash, minhash) turns the
+    * re-run into a cached-block filter and also cuts the walk's lineage. */
+  def dupPairsMinhash(corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+    val sigs = signatures(corpus, cfg)
+      .select(col("image_id"), col("phash"), col("minhash"))
+      .localCheckpoint()
+    confirm(candidatesMinhash(sigs, cfg), corpus, cfg).select("id_a", "id_b")
+  }
+
   /** connected components by iterative min-label propagation over the edge
     * list (the distributed union-find of SURVEY.md §4.2): labels converge in
     * O(log diameter) rounds; each round is one shuffle; `localCheckpoint`
