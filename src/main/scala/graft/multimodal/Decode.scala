@@ -16,6 +16,39 @@ import graft.data.SyntheticImages
   */
 object Decode {
 
+  /** Per-partition decoder that reuses one ImageReader per format.
+    * `ImageIO.read` allocates a fresh reader + runs provider format
+    * sniffing per call — at millions of small images per partition that
+    * overhead rivals the actual decode. Format is dispatched on the magic
+    * bytes (PNG `\x89PNG`, JPEG `\xFF\xD8`), falling back to `ImageIO.read`
+    * for anything else. NOT thread-safe: one instance per partition task. */
+  final class ReusableDecoder {
+    private def readerFor(fmt: String) = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      if (it.hasNext) it.next() else null
+    }
+    private val png = readerFor("png")
+    private val jpeg = readerFor("jpeg")
+
+    def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val r =
+        if (bytes.length > 1 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') png
+        else if (bytes.length > 1 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) jpeg
+        else null
+      if (r == null) javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try { r.setInput(iis, true, true); r.read(0) } finally iis.close()
+      }
+    }
+
+    def decodePixels(bytes: Array[Byte]): Array[Int] = {
+      val img = decodeImage(bytes)
+      img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+    }
+  }
+
   case class ImageMeta(image_id: String, w_dec: Int, h_dec: Int, mean_luma: Double, phash_dec: Long)
 
   /** decode image bytes partition-wise → dimensions, mean luma, recomputed
@@ -25,8 +58,9 @@ object Decode {
     import spark.implicits._
     images.select(col("image_id"), col("bytes")).as[(String, Array[Byte])]
       .mapPartitions { it =>
+        val dec = new ReusableDecoder
         it.map { case (id, bytes) =>
-          val px = SyntheticImages.decodePixels(bytes)
+          val px = dec.decodePixels(bytes)
           val side = math.sqrt(px.length.toDouble).toInt
           var luma = 0.0
           var i = 0
@@ -59,6 +93,7 @@ object Decode {
       .select(col("image_id"), col("bytes"), col("fmt"), col("caption"), col("truth_cluster"))
       .as[(String, Array[Byte], String, String, Long)]
       .mapPartitions { it =>
+        val dec = new ReusableDecoder
         var cachedFam = -1L
         var cached: Seq[SyntheticImages.Truth] = Nil
         it.map { case (id, bytes, fmt, caption, famId) =>
@@ -68,7 +103,7 @@ object Decode {
           }
           val truth = cached.find(_.image_id == id).getOrElse(
             throw new IllegalStateException(s"no generated truth for $id in family $famId"))
-          val decoded = SyntheticImages.decodePixels(bytes)
+          val decoded = dec.decodePixels(bytes)
           val p = SyntheticImages.psnr(truth.pixels, decoded)
           val psnrOk = if (fmt == "png") p.isPosInfinity else p >= 40.0
           Fidelity(id, fmt, psnrOk, caption == truth.caption)
@@ -86,8 +121,9 @@ object Decode {
     import spark.implicits._
     images.select(col("image_id"), col("bytes")).as[(String, Array[Byte])]
       .mapPartitions { it =>
+        val dec = new ReusableDecoder
         it.map { case (id, bytes) =>
-          val in = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val in = dec.decodeImage(bytes)
           val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = out.createGraphics()
           g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
