@@ -25,13 +25,19 @@ object Bench {
     "doc_ngram_dup_pairs", "doc_minhash_dup_pairs", "doc_stats",
     "embed_knn", "img_decode_meta")
 
-  private def session(cpus: Int): SparkSession = {
+  /** `partitions` defaults to the core count for headline runs; the scaling
+    * protocol pins it to 32 at EVERY level — a real cluster sizes shuffle
+    * partitions to the data, not the executor count, so varying it with the
+    * cores would conflate per-partition memory effects (a 2-core session
+    * with 2 partitions sorts 68M-row partitions) with parallelism itself. */
+  private def session(cpus: Int, partitions: Int = -1): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions",
+        (if (partitions > 0) partitions else cpus).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", "/dev/shm/spark-graft") // shuffle to tmpfs: stable measurements, no disk variance
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
@@ -55,14 +61,20 @@ object Bench {
     // the wide banding exchange instead of fusing both into one
     // memory-hungry stage.
     // projection keeps simhash (its computation is part of the measured
-    // signature stage per north_star) but drops the caption — confirm
-    // re-reads captions from the corpus scan, so persisting them here only
-    // added DRAM traffic in the bandwidth-bound 32-core regime
+    // signature stage per north_star) and reduces the 128-perm signature to
+    // its 32 band keys — this job never reads the signature again, and the
+    // persisted snapshot shrinks 1 KB/row → 256 B/row, the bandwidth that
+    // dominates past ~8 local cores. The caption is dropped too: confirm
+    // re-reads captions from the corpus scan.
+    import graft.spark.{functions => gf}
+    import org.apache.spark.sql.functions.col
+    val cfg = Dedup.defaultConfig
     val sigs = Dedup.signatures(corpus)
-      .select("image_id", "phash", "minhash", "simhash")
+      .select(col("image_id"), col("phash"), col("simhash"),
+        gf.band_keys(col("minhash"), cfg.bands, cfg.rowsPerBand).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val edges = Dedup.confirm(Dedup.candidatesMinhash(sigs), corpus).select("id_a", "id_b")
+      val edges = Dedup.confirm(Dedup.candidatesFromBands(sigs, cfg), corpus).select("id_a", "id_b")
       val clustered = Dedup.clusters(edges, corpus.select("image_id"))
       // single action: the per-partition HLL lineage metrics consume the full
       // cluster assignment, so this drives every stage exactly once
@@ -135,16 +147,25 @@ object Bench {
       pipelineE2E(w, "/root/testdata/sf0.001")
       w.stop()
 
-      def measure(cpus: Int, n: Int): Double = {
-        val s = session(cpus)
+      // INTERLEAVED rounds: measuring all three levels back-to-back per
+      // round, then taking per-level minima, keeps a sustained noisy window
+      // on this shared VM from corrupting one level's minimum while leaving
+      // the others clean (which is exactly what skews an efficiency RATIO);
+      // sequential 3×/level runs measured t32 anywhere from 28 to 39 s
+      // across otherwise identical sessions.
+      def measureOnce(cpus: Int): Double = {
+        val s = session(cpus, partitions = 32)
         s.sparkContext.setLogLevel("WARN")
-        val runs = bestOf(n)(pipelineE2E(s, sfDir))
+        val r = bestOf(1)(pipelineE2E(s, sfDir)).head
         s.stop()
-        runs.min
+        r
       }
-      t2 = measure(2, 2)
-      tN = measure(8, 3)
-      t4N = measure(32, 3)
+      val rounds = (1 to 3).map { _ =>
+        (measureOnce(2), measureOnce(8), measureOnce(32))
+      }
+      t2 = rounds.map(_._1).min
+      tN = rounds.map(_._2).min
+      t4N = rounds.map(_._3).min
 
       thr2 = nRows / t2
       thrN = nRows / tN
@@ -165,12 +186,19 @@ object Bench {
            |
            || run | master | shuffle partitions | wall best-of (s) | throughput (images/s) |
            ||---|---|---|---|---|
-           || local[2] | local[2] | 2 | ${f"$t2%.2f"} | ${f"$thr2%.0f"} |
-           || A (N) | local[8] | 8 | ${f"$tN%.2f"} | ${f"$thrN%.0f"} |
+           || local[2] | local[2] | 32 | ${f"$t2%.2f"} | ${f"$thr2%.0f"} |
+           || A (N) | local[8] | 32 | ${f"$tN%.2f"} | ${f"$thrN%.0f"} |
            || B (4N) | local[32] | 32 | ${f"$t4N%.2f"} | ${f"$thr4N%.0f"} |
            |
-           |Protocol: identical job, identical input, 2-3 runs per level in a
-           |warm session, minimum taken (single-tenant-VM noise is one-sided).
+           |Protocol: identical job, identical input, 3 INTERLEAVED rounds
+           |(each round measures 2, 8, then 32 cores back-to-back), per-level
+           |minimum taken — VM noise is one-sided and interleaving keeps a
+           |sustained noisy window from skewing one level's minimum (and
+           |therefore the efficiency ratio) while leaving the others clean.
+           |Shuffle partitions are pinned to 32 at every level: a cluster
+           |sizes partitions to the data, not the executor count, so varying
+           |them with cores would conflate per-partition memory effects with
+           |parallelism.
            |
            |**scaling_efficiency (N=2 → 4N=8 cores) = ${f"$eff28%.3f"}** (target ≥ 0.8)
            |**scaling_efficiency (N=8 → 4N=32 cores) = ${f"$eff%.3f"}**

@@ -232,13 +232,49 @@ object Dedup {
     saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 4096, saltChunks = 16)
   }
 
-  /** banded MinHash LSH candidates (numeric ids, probabilistic channel);
-    * Hamming pre-filter applies the same confirm predicate early. */
-  def candidatesMinhash(sigs: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+  /** SimHash pigeonhole candidates (numeric ids): interleaved block keys
+    * over the 64-bit SimHash signature — exact cover of simhash-Hamming ≤
+    * blocks−1; same one-shuffle run-walk + hot-bucket salting.
+    *
+    * This channel fits the NEAR-IDENTICAL regime only (e.g. boilerplate
+    * docs, doc_simhash_dup_pairs): ~10% caption churn moves enough
+    * weighted bit votes that dup-pair simhash Hamming is wide on the image
+    * corpus (measured p50=11, p99=20 — BandTune), so recall there is 0.85
+    * at blocks=8 vs ≥0.99 for the banded-MinHash channel, which remains
+    * the general-similarity path. Block width shrinks with block count
+    * (8 blocks ⇒ 8-bit keys), so bucket sizes grow ~ n/2^width — past
+    * ~10^6 rows use [[candidatesMinhash]] instead. */
+  def candidatesSimhash(sigs: DataFrame, cfg: Config = defaultConfig,
+      simhashBlocks: Int = 8): DataFrame = {
     val keyed = sigs
       .select(idNum(col("image_id")).as("id"), col("phash"),
-        gf.band_keys(col("minhash"), cfg.bands, cfg.rowsPerBand).as("bk"))
-      .select(col("id"), col("phash"), explode(col("bk")).as("bv"))
+        explode(gf.phash_block_keys(col("simhash"), simhashBlocks)).as("bv"))
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 4096, saltChunks = 16)
+  }
+
+  /** full simhash-channel dup-pair query (same confirm predicate). */
+  def dupPairsSimhash(corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+    val sigs = signatures(corpus, cfg)
+      .select(col("image_id"), col("phash"), col("simhash"))
+      .localCheckpoint()
+    confirm(candidatesSimhash(sigs, cfg), corpus, cfg).select("id_a", "id_b")
+  }
+
+  /** banded MinHash LSH candidates (numeric ids, probabilistic channel);
+    * Hamming pre-filter applies the same confirm predicate early. */
+  def candidatesMinhash(sigs: DataFrame, cfg: Config = defaultConfig): DataFrame =
+    candidatesFromBands(
+      sigs.select(col("image_id"), col("phash"),
+        gf.band_keys(col("minhash"), cfg.bands, cfg.rowsPerBand).as("bands")), cfg)
+
+  /** banded candidates from a PRE-COMPUTED `bands` array column. Callers
+    * that materialize an intermediate should prefer this shape: the band
+    * keys are 256 B/row vs 1 KB/row for the 128-perm signature, so the
+    * persisted snapshot (and its re-read on the hot-bucket path) moves 4×
+    * fewer bytes — the bandwidth that dominates past ~8 local cores. */
+  def candidatesFromBands(sigs: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+    val keyed = sigs
+      .select(idNum(col("image_id")).as("id"), col("phash"), explode(col("bands")).as("bv"))
     saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 4096, saltChunks = 16)
   }
 
@@ -295,10 +331,11 @@ object Dedup {
     * local[32]). One localCheckpoint of (id, phash, minhash) turns the
     * re-run into a cached-block filter and also cuts the walk's lineage. */
   def dupPairsMinhash(corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
-    val sigs = signatures(corpus, cfg)
-      .select(col("image_id"), col("phash"), col("minhash"))
+    val banded = signatures(corpus, cfg)
+      .select(col("image_id"), col("phash"),
+        gf.band_keys(col("minhash"), cfg.bands, cfg.rowsPerBand).as("bands"))
       .localCheckpoint()
-    confirm(candidatesMinhash(sigs, cfg), corpus, cfg).select("id_a", "id_b")
+    confirm(candidatesFromBands(banded, cfg), corpus, cfg).select("id_a", "id_b")
   }
 
   /** connected components by iterative min-label propagation over the edge

@@ -64,6 +64,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("simhash channel: exact-subset pairs, recall in the measured regime") {
+    val exact = Dedup.dupPairs(corpus).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val sh = Dedup.dupPairsSimhash(corpus)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // confirm applies the same exact predicate, so precision is 1.0
+    assert(sh.subsetOf(exact))
+    // image captions churn ~10% of tokens → wide simhash Hamming (BandTune:
+    // p50=11); the channel is documented as near-identical-regime only, and
+    // its measured recall there is ~0.85 — assert it stays in that band
+    val recall = sh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.75, s"simhash-channel recall $recall (${sh.size} vs ${exact.size})")
+  }
+
   test("clusters match local union-find over the same edges") {
     val edges = Dedup.dupPairs(corpus).collect().map(r => (r.getString(0), r.getString(1)))
     val ids = corpus.select("image_id").collect().map(_.getString(0))
