@@ -1,0 +1,33 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.data.SyntheticImages
+import graft.pipeline.Dedup
+import graft.spark.{functions => gf}
+
+/** dev tool: bucket-size distribution of both LSH channels at a given sf —
+  * how much work the hot-bucket salted path actually handles. */
+object HotStats {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val c = SyntheticImages.ensure(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    def stats(name: String, keyed: org.apache.spark.sql.DataFrame): Unit = {
+      val sizes = keyed.groupBy("bv").agg(count(lit(1)).as("n"))
+      val row = sizes.agg(count(lit(1)).as("buckets"),
+        max(col("n")).as("max"),
+        sum(when(col("n") > 1, (col("n") * (col("n") - 1) / 2).cast("long")).otherwise(0L)).as("pairs"),
+        sum(when(col("n") > 4096, 1L).otherwise(0L)).as("hot"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("singletons")).head()
+      println(s"HOT $name buckets=${row.getLong(0)} singletons=${row.getLong(4)} " +
+        s"maxBucket=${row.getLong(1)} crossPairs=${row.getLong(2)} hotBuckets=${row.getLong(3)}")
+    }
+    stats("phash_blocks", c.select(expr("cast(substring(image_id,5) as bigint)").as("id"),
+      explode(gf.phash_block_keys(col("phash"), 4)).as("bv")))
+    stats("minhash_bands", Dedup.signatures(c)
+      .select(col("image_id"), explode(gf.band_keys(col("minhash"), 32, 4)).as("bv")))
+    spark.stop()
+  }
+}
