@@ -150,13 +150,32 @@ object Dedup {
     * singleton runs, and reports each oversized run as one MARKER pair
     * `(Long.MinValue, bv)` so the caller can route it to the salted hot
     * path. Input must be sorted by bv within the partition; every row of a
-    * bv is in this partition (hash partitioned). */
+    * bv is in this partition (hash partitioned).
+    *
+    * Runs of ≥ [[BucketRunPairs.SubBucketMin]] members take a pigeonhole
+    * SUB-BUCKET pass instead of the O(n²) cursor walk: the 64 phash bits are
+    * partitioned into `maxHamming+1` interleaved classes, members are
+    * grouped by each class value, and only within-group pairs are compared
+    * (a pair within Hamming ≤ maxHamming must agree on ≥ 1 class — same
+    * pigeonhole as the block channel, applied recursively inside a bucket).
+    * Pairs are deduped by their FIRST agreeing class, so output equals the
+    * full cross-product walk exactly (BucketRunPairsSpec). Large LSH buckets
+    * are dominated by FALSE band collisions with near-random phashes, where
+    * class groups are near-singletons: measured 3.59B raw in-bucket pairs at
+    * the 4.25M-row corpus collapse to ~collision count work. */
   private[pipeline] final class BucketRunPairs(
       rows: Iterator[(Long, Long, Long)], maxHamming: Int, hotThreshold: Int)
       extends Iterator[(Long, Long)] {
+    import BucketRunPairs.SubBucketMin
     private val cap = hotThreshold
     private val ids = new Array[Long](cap)
     private val phs = new Array[Long](cap)
+    // eager pair buffer for the sub-bucketed path (surviving pairs only —
+    // the dense worst case is bounded by the hotThreshold member cap)
+    private var bufA = new Array[Long](1024)
+    private var bufB = new Array[Long](1024)
+    private var bufN = 0
+    private var bufI = 0
     private var n = 0 // buffered run length
     private var a = 0 // pair cursor over the buffered run
     private var b = 1
@@ -196,6 +215,11 @@ object Dedup {
 
     private def advance(): Unit = {
       while (true) {
+        if (bufI < bufN) {
+          nextPair = (bufA(bufI), bufB(bufI))
+          bufI += 1
+          return
+        }
         while (a < n - 1) {
           val pa = phs(a)
           while (b < n) {
@@ -214,13 +238,92 @@ object Dedup {
         fillRun() match {
           case -1 => nextPair = null; return
           case 1  => nextPair = (Long.MinValue, markerBv); return
-          case _  => // buffered run: loop back into the pair walk
+          case _  =>
+            if (n >= SubBucketMin && maxHamming + 1 <= 8 && cap <= 0xFFFF) {
+              subBucketRun() // fills buf*; consumed at loop top
+              n = 0          // the lazy cursor walk must not re-walk this run
+            }
+          // small run: loop back into the lazy pair walk
         }
+      }
+    }
+
+    /** emit a surviving pair into the eager buffer (ids normalized). */
+    private def appendPair(x: Long, y: Long): Unit = {
+      if (bufN == bufA.length) {
+        bufA = java.util.Arrays.copyOf(bufA, bufN * 2)
+        bufB = java.util.Arrays.copyOf(bufB, bufN * 2)
+      }
+      if (x < y) { bufA(bufN) = x; bufB(bufN) = y }
+      else { bufA(bufN) = y; bufB(bufN) = x }
+      bufN += 1
+    }
+
+    /** pigeonhole sub-bucket pass over the buffered run (see class doc). */
+    private def subBucketRun(): Unit = {
+      bufN = 0; bufI = 0
+      val classes = maxHamming + 1
+      // per-class per-member key: gather bits j ≡ c (mod classes)
+      val keys = new Array[Long](classes * n)
+      var m = 0
+      while (m < n) {
+        val ph = phs(m)
+        var j = 0
+        while (j < 64) {
+          val c = j % classes
+          keys(c * n + m) |= ((ph >>> j) & 1L) << (j / classes)
+          j += 1
+        }
+        m += 1
+      }
+      val packed = new Array[Long](n)
+      var c = 0
+      while (c < classes) {
+        val off = c * n
+        m = 0
+        while (m < n) { packed(m) = (keys(off + m) << 16) | m; m += 1 }
+        java.util.Arrays.sort(packed)
+        // walk equal-key groups
+        var lo = 0
+        while (lo < n) {
+          var hi = lo + 1
+          val key = packed(lo) >>> 16
+          while (hi < n && (packed(hi) >>> 16) == key) hi += 1
+          var i1 = lo
+          while (i1 < hi - 1) {
+            val ma = (packed(i1) & 0xFFFF).toInt
+            val pa = phs(ma)
+            var i2 = i1 + 1
+            while (i2 < hi) {
+              val mb = (packed(i2) & 0xFFFF).toInt
+              if (java.lang.Long.bitCount(pa ^ phs(mb)) <= maxHamming) {
+                // dedup: emit only at the FIRST agreeing class
+                var cc = 0
+                var first = true
+                while (first && cc < c) {
+                  if (keys(cc * n + ma) == keys(cc * n + mb)) first = false
+                  cc += 1
+                }
+                if (first) appendPair(ids(ma), ids(mb))
+              }
+              i2 += 1
+            }
+            i1 += 1
+          }
+          lo = hi
+        }
+        c += 1
       }
     }
 
     override def hasNext: Boolean = nextPair != null
     override def next(): (Long, Long) = { val r = nextPair; advance(); r }
+  }
+
+  private[pipeline] object BucketRunPairs {
+    /** run size at which the pigeonhole sub-bucket pass beats the O(n²)
+      * cursor walk (sort cost ≈ classes·n·log n vs n²/2 comparisons). */
+    val SubBucketMin = 64
   }
 
   /** exact-cover candidate pairs (numeric ids): same interleaved block key,

@@ -41,6 +41,39 @@ class BucketRunPairsSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-bucketed big runs == brute force (planted near-dups + random)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 10) {
+      var id = 0L
+      val rows = (0 until 3).flatMap { r =>
+        val runLen = Dedup.BucketRunPairs.SubBucketMin + rnd.nextInt(200)
+        val base = rnd.nextLong()
+        (0 until runLen).map { k =>
+          id += 1
+          // ~25% of members near-dup of the run base (hamming 0..5, so the
+          // filter both passes and rejects); rest random
+          val ph =
+            if (k % 4 == 0) (0 until rnd.nextInt(6)).foldLeft(base)((h, _) => h ^ (1L << rnd.nextInt(64)))
+            else rnd.nextLong()
+          (r.toLong, id, ph)
+        }
+      }
+      val got = new Dedup.BucketRunPairs(rows.iterator, maxHamming = 3, hotThreshold = 4096).toSet
+      val want = brute(rows, 3, 4096)
+      assert(got === want, s"trial=$trial rows=${rows.size} got=${got.size} want=${want.size}")
+    }
+    // boundary: run exactly at SubBucketMin, run of all-identical phashes
+    // (every pair survives -> densest buffer), and maxHamming=0 (classes=1,
+    // 64-bit class key exercises the truncated-key grouping)
+    val m = Dedup.BucketRunPairs.SubBucketMin
+    val atMin = (1 to m).map(i => (9L, i.toLong, 0L))
+    assert(new Dedup.BucketRunPairs(atMin.iterator, 3, 4096).toSet === brute(atMin, 3, 4096))
+    val dense = (1 to 100).map(i => (10L, i.toLong, 42L))
+    assert(new Dedup.BucketRunPairs(dense.iterator, 3, 4096).size === 100 * 99 / 2)
+    val h0 = (1 to 80).map(i => (11L, i.toLong, if (i % 2 == 0) 7L else 9L))
+    assert(new Dedup.BucketRunPairs(h0.iterator, 0, 4096).toSet === brute(h0, 0, 4096))
+  }
+
   test("empty input and all-singleton input emit nothing") {
     assert(new Dedup.BucketRunPairs(Iterator.empty, 3, 8).isEmpty)
     val singles = (1L to 5L).map(i => (i, i, 0L))
