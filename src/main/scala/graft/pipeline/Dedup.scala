@@ -164,7 +164,8 @@ object Dedup {
     * class groups are near-singletons: measured 3.59B raw in-bucket pairs at
     * the 4.25M-row corpus collapse to ~collision count work. */
   private[pipeline] final class BucketRunPairs(
-      rows: Iterator[(Long, Long, Long)], maxHamming: Int, hotThreshold: Int)
+      rows: Iterator[(Long, Long, Long)], maxHamming: Int, hotThreshold: Int,
+      maxBufferedPairs: Int = BucketRunPairs.MaxBufferedPairs)
       extends Iterator[(Long, Long)] {
     import BucketRunPairs.SubBucketMin
     private val cap = hotThreshold
@@ -191,6 +192,7 @@ object Dedup {
       * 0 for a buffered run, 1 for an oversized run (fully consumed, not
       * buffered; its bv is reported via markerBv). */
     private var markerBv = 0L
+    private var curBv = 0L // bv of the currently buffered run
     private def fillRun(): Int = {
       if (!hasHeld) {
         if (!rows.hasNext) return -1
@@ -198,6 +200,7 @@ object Dedup {
         heldBv = bv; heldId = id; heldPh = ph
       }
       val bv = heldBv
+      curBv = bv
       ids(0) = heldId; phs(0) = heldPh
       n = 1
       hasHeld = false
@@ -240,8 +243,17 @@ object Dedup {
           case 1  => nextPair = (Long.MinValue, markerBv); return
           case _  =>
             if (n >= SubBucketMin && maxHamming + 1 <= 8 && cap <= 0xFFFF) {
-              subBucketRun() // fills buf*; consumed at loop top
-              n = 0          // the lazy cursor walk must not re-walk this run
+              val runBv = curBv
+              if (!subBucketRun()) {
+                // PAIR-dense run (a true giant duplicate cluster): buffering
+                // its surviving pairs would hold O(n²) longs in one task —
+                // route it to the salted hot path, which streams the same
+                // pair set through the shuffle instead
+                nextPair = (Long.MinValue, runBv)
+                n = 0
+                return
+              }
+              n = 0 // the lazy cursor walk must not re-walk this run
             }
           // small run: loop back into the lazy pair walk
         }
@@ -259,8 +271,11 @@ object Dedup {
       bufN += 1
     }
 
-    /** pigeonhole sub-bucket pass over the buffered run (see class doc). */
-    private def subBucketRun(): Unit = {
+    /** pigeonhole sub-bucket pass over the buffered run (see class doc).
+      * Returns false — with the buffer cleared — when the run's surviving
+      * pairs exceed `maxBufferedPairs` (pair-dense giant duplicate cluster):
+      * the caller then markers the run to the salted hot path. */
+    private def subBucketRun(): Boolean = {
       bufN = 0; bufI = 0
       val classes = maxHamming + 1
       // per-class per-member key: gather bits j ≡ c (mod classes)
@@ -304,7 +319,10 @@ object Dedup {
                   if (keys(cc * n + ma) == keys(cc * n + mb)) first = false
                   cc += 1
                 }
-                if (first) appendPair(ids(ma), ids(mb))
+                if (first) {
+                  if (bufN >= maxBufferedPairs) { bufN = 0; bufI = 0; return false }
+                  appendPair(ids(ma), ids(mb))
+                }
               }
               i2 += 1
             }
@@ -314,6 +332,7 @@ object Dedup {
         }
         c += 1
       }
+      true
     }
 
     override def hasNext: Boolean = nextPair != null
@@ -324,6 +343,10 @@ object Dedup {
     /** run size at which the pigeonhole sub-bucket pass beats the O(n²)
       * cursor walk (sort cost ≈ classes·n·log n vs n²/2 comparisons). */
     val SubBucketMin = 64
+
+    /** surviving-pair buffer cap per run (8M pairs = 128 MB of id longs);
+      * beyond it the run markers to the salted hot path. */
+    val MaxBufferedPairs = 8 << 20
   }
 
   /** exact-cover candidate pairs (numeric ids): same interleaved block key,
@@ -332,7 +355,7 @@ object Dedup {
     val keyed = prepared(corpus)
       .select(col("id"), col("phash"),
         explode(gf.phash_block_keys(col("phash"), blocksFor(cfg))).as("bv"))
-    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 4096, saltChunks = 16)
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 16384, saltChunks = 16)
   }
 
   /** SimHash pigeonhole candidates (numeric ids): interleaved block keys
@@ -352,7 +375,7 @@ object Dedup {
     val keyed = sigs
       .select(idNum(col("image_id")).as("id"), col("phash"),
         explode(gf.phash_block_keys(col("simhash"), simhashBlocks)).as("bv"))
-    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 4096, saltChunks = 16)
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 16384, saltChunks = 16)
   }
 
   /** full simhash-channel dup-pair query (same confirm predicate). */
@@ -378,7 +401,7 @@ object Dedup {
   def candidatesFromBands(sigs: DataFrame, cfg: Config = defaultConfig): DataFrame = {
     val keyed = sigs
       .select(idNum(col("image_id")).as("id"), col("phash"), explode(col("bands")).as("bv"))
-    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 4096, saltChunks = 16)
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 16384, saltChunks = 16)
   }
 
   /** exact confirm of (already Hamming-filtered) candidate pairs: recheck

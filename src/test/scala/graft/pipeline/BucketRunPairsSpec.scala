@@ -74,6 +74,23 @@ class BucketRunPairsSpec extends AnyFunSuite {
     assert(new Dedup.BucketRunPairs(h0.iterator, 0, 4096).toSet === brute(h0, 0, 4096))
   }
 
+  test("pair-dense big run overflows the buffer and markers to the hot path") {
+    val m = Dedup.BucketRunPairs.SubBucketMin
+    // 100 identical phashes -> 4950 surviving pairs > the tiny cap
+    val dense = (1 to 100).map(i => (21L, i.toLong, 42L))
+    val got = new Dedup.BucketRunPairs(dense.iterator, 3, 4096, maxBufferedPairs = 100).toSet
+    assert(got === Set((Long.MinValue, 21L)))
+    // a mixed partition: the dense run markers, later runs still emit
+    val mixed = dense ++ Seq((23L, 5000L, 1L), (23L, 5001L, 1L))
+    val got2 = new Dedup.BucketRunPairs(mixed.iterator, 3, 4096, maxBufferedPairs = 100).toSet
+    assert(got2 === Set((Long.MinValue, 21L), (5000L, 5001L)))
+    // a sparse big run (no surviving pairs) must NOT marker under a tiny cap
+    val sparse = (0 until m).map(i => (24L, 6000L + i, (6000L + i) * 0x9E3779B97F4A7C15L))
+    val got3 = new Dedup.BucketRunPairs(sparse.iterator, 3, 4096, maxBufferedPairs = 10).toSet
+    assert(got3 === brute(sparse, 3, 4096))
+    assert(!got3.exists(_._1 == Long.MinValue))
+  }
+
   test("empty input and all-singleton input emit nothing") {
     assert(new Dedup.BucketRunPairs(Iterator.empty, 3, 8).isEmpty)
     val singles = (1L to 5L).map(i => (i, i, 0L))
