@@ -173,8 +173,8 @@ object Dedup {
     private val phs = new Array[Long](cap)
     // eager pair buffer for the sub-bucketed path (surviving pairs only —
     // the dense worst case is bounded by the hotThreshold member cap)
-    private var bufA = new Array[Long](1024)
-    private var bufB = new Array[Long](1024)
+    private var bufA = new Array[Long](BucketRunPairs.InitialPairBuf)
+    private var bufB = new Array[Long](BucketRunPairs.InitialPairBuf)
     private var bufN = 0
     private var bufI = 0
     private var n = 0 // buffered run length
@@ -222,6 +222,14 @@ object Dedup {
           nextPair = (bufA(bufI), bufB(bufI))
           bufI += 1
           return
+        }
+        // a drained dense run can leave two grown pair buffers (up to
+        // 2 × 64 MB at MaxBufferedPairs); shrink back so concurrent tasks
+        // hold only the initial footprint between dense runs
+        if (bufA.length > BucketRunPairs.InitialPairBuf) {
+          bufA = new Array[Long](BucketRunPairs.InitialPairBuf)
+          bufB = new Array[Long](BucketRunPairs.InitialPairBuf)
+          bufN = 0; bufI = 0
         }
         while (a < n - 1) {
           val pa = phs(a)
@@ -295,6 +303,13 @@ object Dedup {
       var c = 0
       while (c < classes) {
         val off = c * n
+        // key-packing invariant: class keys occupy ceil(64/classes) bits, so
+        // for classes >= 2 a key fits 32 bits and `key << 16 | member` is an
+        // EXACT sort key. classes == 1 (maxHamming = 0) would truncate the
+        // 64-bit key to 48 bits — lossy but SAFE (truncation only merges
+        // groups, adding Hamming re-checks; pairs are still emitted once
+        // because class 0 is the only class), and with a single class the
+        // walk is equivalent to grouping by the full phash anyway.
         m = 0
         while (m < n) { packed(m) = (keys(off + m) << 16) | m; m += 1 }
         java.util.Arrays.sort(packed)
@@ -343,6 +358,9 @@ object Dedup {
     /** run size at which the pigeonhole sub-bucket pass beats the O(n²)
       * cursor walk (sort cost ≈ classes·n·log n vs n²/2 comparisons). */
     val SubBucketMin = 64
+
+    /** initial (and post-dense-run) capacity of the surviving-pair buffers. */
+    val InitialPairBuf = 1024
 
     /** surviving-pair buffer cap per run (8M pairs = 128 MB of id longs);
       * beyond it the run markers to the salted hot path. */

@@ -68,8 +68,12 @@ object SessionizeStream {
             // close the open session once the watermark passes last + gap;
             // if this batch's watermark already passed it (coarse micro-
             // batches can advance event time by more than the gap), a
-            // timeout in the past is illegal — emit and drop state now
-            if (st.last.getTime + gapMs <= state.getCurrentWatermarkMs()) {
+            // timeout in the past is illegal — emit and drop state now.
+            // STRICTLY past: an event at exactly last+gap belongs to the
+            // same session under the strict-> batch gap rule and is not yet
+            // late when watermark == last+gap, matching EventTimeTimeout's
+            // own strictly-greater firing semantics
+            if (st.last.getTime + gapMs < state.getCurrentWatermarkMs()) {
               out = Session(uid, st.seq, st.n, st.start, st.last) :: out
               state.remove()
             } else {

@@ -14,15 +14,24 @@ object HotStats {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val c = SyntheticImages.ensure(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    // match the SHIPPED routing (Dedup.saltedBucketPairs): a run is hot when
+    // members exceed the 16384 cap; pair-dense runs (surviving pairs > the
+    // 8M buffer) also marker out — raw crossPairs > 8M is the computable
+    // upper-bound proxy for that here
+    val hotThreshold = sys.env.getOrElse("SPARK_GRAFT_HOT_THRESHOLD", "16384").toLong
+    val pairCap = (8L << 20)
     def stats(name: String, keyed: org.apache.spark.sql.DataFrame): Unit = {
       val sizes = keyed.groupBy("bv").agg(count(lit(1)).as("n"))
       val row = sizes.agg(count(lit(1)).as("buckets"),
         max(col("n")).as("max"),
         sum(when(col("n") > 1, (col("n") * (col("n") - 1) / 2).cast("long")).otherwise(0L)).as("pairs"),
-        sum(when(col("n") > 4096, 1L).otherwise(0L)).as("hot"),
-        sum(when(col("n") === 1, 1L).otherwise(0L)).as("singletons")).head()
+        sum(when(col("n") > hotThreshold, 1L).otherwise(0L)).as("hot"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("singletons"),
+        sum(when(col("n") * (col("n") - 1) / 2 > pairCap, 1L).otherwise(0L)).as("pairDense")).head()
       println(s"HOT $name buckets=${row.getLong(0)} singletons=${row.getLong(4)} " +
-        s"maxBucket=${row.getLong(1)} crossPairs=${row.getLong(2)} hotBuckets=${row.getLong(3)}")
+        s"maxBucket=${row.getLong(1)} crossPairs=${row.getLong(2)} " +
+        s"hotBuckets(>$hotThreshold members)=${row.getLong(3)} " +
+        s"rawPairDense(>8M raw pairs)=${row.getLong(5)}")
     }
     stats("phash_blocks", c.select(expr("cast(substring(image_id,5) as bigint)").as("id"),
       explode(gf.phash_block_keys(col("phash"), 4)).as("bv")))
