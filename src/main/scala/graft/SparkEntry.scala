@@ -6,6 +6,7 @@ import graft.data.SyntheticImages
 import graft.docs.DocOps
 import graft.embed.Ann
 import graft.multimodal.Decode
+import graft.oracle.Md5Channels
 import graft.pipeline.Dedup
 import graft.spark.{functions => gf}
 
@@ -78,12 +79,25 @@ object SparkEntry {
     "dup_pairs_minhash" -> ((s, dir) =>
       Dedup.dupPairsMinhash(corpus(s, dir)).orderBy("id_a", "id_b")),
 
-    // per-partition HLL lineage metrics — rows-only (estimates)
+    // per-partition cluster lineage metrics, fully oracle-gated: partition =
+    // deterministic md5 hash of the cluster space (stable at any
+    // parallelism), exact distinct + md5-HLL raw register estimate
     "cluster_metrics" -> ((s, dir) => {
       val c = corpus(s, dir)
-      Dedup.partitionMetrics(
-        Dedup.clusters(Dedup.dupPairs(c), c.select("image_id")))
+      Md5Channels.clusterMetricsMd5(
+        Dedup.clusters(Dedup.dupPairs(c), c.select("image_id"))).orderBy("part")
     }),
+
+    // image banded-MinHash channel, md5-derived variant (oracle-gated twin
+    // of dup_pairs_minhash: same operator shape, engine-reproducible hashes)
+    "dup_pairs_minhash_md5" -> ((s, dir) =>
+      Md5Channels.imgMinhashDupPairsMd5(corpus(s, dir)).orderBy("id_a", "id_b")),
+
+    // image SimHash pigeonhole channel (md5-derived majority-vote simhash
+    // over caption tokens; candidates phash-Hamming-filtered like
+    // Dedup.candidatesSimhash; dup_pairs confirm predicate)
+    "dup_pairs_simhash" -> ((s, dir) =>
+      Md5Channels.imgSimhashDupPairs(corpus(s, dir)).orderBy("id_a", "id_b")),
 
     // ---- document (text) pipeline ops ----
     "doc_exact_dups" -> ((s, dir) =>
@@ -97,6 +111,14 @@ object SparkEntry {
 
     "doc_simhash_dup_pairs" -> ((s, dir) =>
       DocOps.simhashDupPairs(docs(s, dir), 3, 3).orderBy("id_a", "id_b")),
+
+    // oracle-gated md5 twins of the doc LSH channels (same operator shapes,
+    // every hash md5-derived so DuckDB reproduces candidates exactly)
+    "doc_minhash_dup_pairs_md5" -> ((s, dir) =>
+      Md5Channels.docMinhashDupPairsMd5(docs(s, dir), 3, 0.6).orderBy("id_a", "id_b")),
+
+    "doc_simhash_dup_pairs_md5" -> ((s, dir) =>
+      Md5Channels.docSimhashDupPairsMd5(docs(s, dir), 3, 3).orderBy("id_a", "id_b")),
 
     "doc_stats" -> ((s, dir) => DocOps.docStats(docs(s, dir)).orderBy("doc_id")),
 
@@ -120,6 +142,20 @@ object SparkEntry {
 
     "doc_hll_tokens_by_source" -> ((s, dir) =>
       DocOps.hllTokensBySource(docs(s, dir)).orderBy("source")),
+
+    // md5-HLL raw register estimate + exact count per source (oracle-gated
+    // twin of doc_hll_tokens_by_source)
+    "doc_hll_tokens_by_source_md5" -> ((s, dir) =>
+      Md5Channels.hllTokensBySourceMd5(docs(s, dir)).orderBy("source")),
+
+    // bottom-k estimator suite (jaccard / containment / cardinality / mash)
+    // over md5-hashed char-8 shingles on the exact n-gram candidate pairs —
+    // oracle-gated twin of doc_sketch_estimates' bottom-k columns
+    "doc_sketch_estimates_md5" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Md5Channels.docSketchEstimatesMd5(d, DocOps.ngramDupPairsExact(d, 3, 0.6))
+        .orderBy("id_a", "id_b")
+    }),
 
     // sketch-estimator showcase on near-dup candidate pairs (estimates →
     // rows-only): bottom-k jaccard + mash distance + containment + OMH +
@@ -262,6 +298,67 @@ object SparkEntry {
          |  list_transform(range(1, length(ca) - $lcsMin + 2), i -> substr(ca, i::INT, $lcsMin)),
          |  list_transform(range(1, length(cb) - $lcsMin + 2), i -> substr(cb, i::INT, $lcsMin)))) > 0
          |ORDER BY id_a, id_b""".stripMargin
+    // --- md5-derived cross-engine fragments (mirror graft.oracle.Md5Channels;
+    // determinism contract documented there) ---
+    // packed via HUGEINT arithmetic + explicit 2^64 wrap: DuckDB's checked
+    // `<<` rejects hi >= 2^31, unlike the JVM's wrapping shiftleft
+    def h64(s: String) =
+      s"(((('0x'||substr(md5($s),1,8))::BIGINT * 4294967296::HUGEINT + ('0x'||substr(md5($s),9,8))::BIGINT)" +
+        s" - CASE WHEN ('0x'||substr(md5($s),1,8))::BIGINT >= 2147483648 THEN 18446744073709551616 ELSE 0 END)::BIGINT)"
+    def h63(s: String) = s"(${h64(s)} & 9223372036854775807)"
+    // xor-permutation minhash band keys over a CTE hh(id, h): 32 perms,
+    // 16 bands × 2 rows; band key = md5 of comma-joined decimal minima
+    def minhashBandsSql(idCol: String) =
+      s"""p AS (SELECT range AS p, ${h63("'perm'||range")} AS seed FROM range(0, 32)),
+         |mn AS (SELECT $idCol, p.p AS p, min(xor(h, seed)) AS mn
+         |       FROM hh CROSS JOIN p GROUP BY $idCol, p.p),
+         |bk AS (SELECT $idCol, p // 2 AS bi,
+         |         md5(string_agg(mn::VARCHAR, ',' ORDER BY p)) AS bv
+         |       FROM mn GROUP BY $idCol, p // 2)""".stripMargin
+    // majority-vote 64-bit simhash over a CTE hh(id, h) of 63-bit hashes
+    // (bit 63 of every hash is 0, so bits 0..62 suffice)
+    def simhashSql(idCol: String) =
+      s"""bits AS (SELECT $idCol, b.range AS b, sum((h >> b.range) & 1) AS ones,
+         |           count(*) AS tot
+         |         FROM hh CROSS JOIN range(0, 63) b GROUP BY $idCol, b.range),
+         |sh AS (SELECT $idCol, sum(CASE WHEN 2 * ones >= tot
+         |           THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+         |       FROM bits GROUP BY $idCol)""".stripMargin
+    // md5-HLL raw register estimate over a CTE hh(k, h): np=12, m=4096;
+    // S computed in exact HUGEINT arithmetic, single final division
+    def hllEstSql(keyCol: String, estCol: String) =
+      s"""r AS (SELECT $keyCol, (h >> 52) & 4095 AS idx,
+         |        CASE WHEN (h & 4503599627370495) = 0 THEN 53
+         |             ELSE 53 - length(bin(h & 4503599627370495)) END AS rho
+         |      FROM hh),
+         |mreg AS (SELECT $keyCol, idx, max(rho) AS m FROM r GROUP BY $keyCol, idx),
+         |shll AS (SELECT $keyCol, sum((2::DOUBLE ** (64 - m))::HUGEINT) AS sp,
+         |           count(*) AS np FROM mreg GROUP BY $keyCol),
+         |ehll AS (SELECT $keyCol,
+         |           (0.7213/(1+1.079/4096)*4096*4096*(2::DOUBLE**64)) /
+         |           (sp + (4096 - np) * 18446744073709551616::HUGEINT)::DOUBLE AS $estCol
+         |         FROM shll)""".stripMargin
+    // distinct token-3-gram STRINGS per doc
+    val docGramsSql =
+      s"""dg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $docsT)
+         |       WHERE len(toks) >= 3),
+         |hv AS (SELECT doc_id, unnest(grams) AS s FROM dg),
+         |hh AS (SELECT doc_id, ${h63("s")} AS h FROM hv)""".stripMargin
+    // distinct caption-token STRINGS per image
+    val imgToksSql =
+      s"""ti AS (SELECT image_id, phash,
+         |         list_distinct(string_split(caption, ' ')) AS toks FROM $t),
+         |hv AS (SELECT image_id, unnest(toks) AS s FROM ti),
+         |hh AS (SELECT image_id, ${h63("s")} AS h FROM hv)""".stripMargin
+    val imgConfirmSql =
+      s"""conf AS (SELECT c.id_a, c.id_b, bit_count(xor(ta.phash, tb.phash)) AS hamming,
+         |           len(list_intersect(ta.toks, tb.toks)) AS iv,
+         |           len(ta.toks) AS na, len(tb.toks) AS nb
+         |         FROM cand c
+         |         JOIN ti ta ON ta.image_id = c.id_a
+         |         JOIN ti tb ON tb.image_id = c.id_b)""".stripMargin
     Map(
       "img_corpus" ->
         s"""SELECT image_id, w, h, fmt, caption, phash,
@@ -298,6 +395,119 @@ object SparkEntry {
            |SELECT doc_id, canon_id, group_n FROM k JOIN g USING (k) ORDER BY doc_id""".stripMargin,
 
       "doc_ngram_dup_pairs" -> docNgramPairsSql,
+
+      "doc_minhash_dup_pairs_md5" ->
+        s"""WITH $docGramsSql,
+           |${minhashBandsSql("doc_id")},
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bk a JOIN bk b ON a.bi = b.bi AND a.bv = b.bv
+           |              AND a.doc_id < b.doc_id),
+           |conf AS (SELECT c.id_a, c.id_b,
+           |           len(list_intersect(ga.grams, gb.grams)) AS iv,
+           |           len(ga.grams) AS na, len(gb.grams) AS nb
+           |         FROM cand c
+           |         JOIN dg ga ON ga.doc_id = c.id_a
+           |         JOIN dg gb ON gb.doc_id = c.id_b)
+           |SELECT id_a, id_b FROM conf
+           |WHERE iv * 1.0 / (na + nb - iv) >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+      "doc_simhash_dup_pairs_md5" ->
+        s"""WITH $docGramsSql,
+           |${simhashSql("doc_id")},
+           |blk AS (SELECT doc_id, sh, i.range AS bi, (sh >> (i.range * 16)) & 65535 AS bv
+           |        FROM sh CROSS JOIN range(0, 4) i),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |           bit_count(xor(a.sh, b.sh))::INT AS hamming
+           |         FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv
+           |              AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming FROM cand
+           |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+      "dup_pairs_minhash_md5" ->
+        s"""WITH $imgToksSql,
+           |${minhashBandsSql("image_id")},
+           |cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+           |         FROM bk a JOIN bk b ON a.bi = b.bi AND a.bv = b.bv
+           |              AND a.image_id < b.image_id),
+           |$imgConfirmSql
+           |SELECT id_a, id_b FROM conf
+           |WHERE hamming <= $ht AND iv * 1.0 / (na + nb - iv) >= $tau
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "dup_pairs_simhash" ->
+        s"""WITH $imgToksSql,
+           |${simhashSql("image_id")},
+           |blk AS (SELECT s.image_id, t.phash, i.range AS bi,
+           |          (s.sh >> (i.range * 16)) & 65535 AS bv
+           |        FROM sh s JOIN ti t USING (image_id) CROSS JOIN range(0, 4) i),
+           |cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+           |         FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv
+           |              AND a.image_id < b.image_id
+           |              AND bit_count(xor(a.phash, b.phash)) <= $ht),
+           |$imgConfirmSql
+           |SELECT id_a, id_b FROM conf
+           |WHERE hamming <= $ht AND iv * 1.0 / (na + nb - iv) >= $tau
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "cluster_metrics" ->
+        s"""WITH RECURSIVE pairs AS ($dupPairsSql),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT image_id, image_id FROM $t
+           |  UNION
+           |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+           |),
+           |cl AS (SELECT id AS image_id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |cm AS (SELECT image_id, cluster_id,
+           |         (${h64("cluster_id")} >> 59) & 31 AS part FROM cl),
+           |ex AS (SELECT part, count(*) AS n_rows,
+           |         count(DISTINCT cluster_id) AS n_clusters_exact
+           |       FROM cm GROUP BY part),
+           |hh AS (SELECT part, ${h64("cluster_id")} AS h FROM cm),
+           |${hllEstSql("part", "distinct_clusters_est")}
+           |SELECT part, n_rows, n_clusters_exact, distinct_clusters_est
+           |FROM ex JOIN ehll USING (part) ORDER BY part""".stripMargin,
+
+      "doc_hll_tokens_by_source_md5" ->
+        s"""WITH tk AS (SELECT source,
+           |         unnest(list_distinct(string_split(text, ' '))) AS s
+           |       FROM $docsT),
+           |ex AS (SELECT source, count(DISTINCT s) AS n_distinct_exact
+           |       FROM tk GROUP BY source),
+           |hh AS (SELECT source, ${h64("s")} AS h FROM tk),
+           |${hllEstSql("source", "est_distinct_tokens")}
+           |SELECT source, n_distinct_exact, est_distinct_tokens
+           |FROM ex JOIN ehll USING (source) ORDER BY source""".stripMargin,
+
+      "doc_sketch_estimates_md5" ->
+        s"""WITH pr AS ($docNgramPairsSql),
+           |sk AS (SELECT doc_id,
+           |         list_sort(list_distinct(list_transform(range(1, length(text) - 6),
+           |           i -> ${h63("substr(text, i::INT, 8)")})))[1:128] AS bk
+           |       FROM $docsT WHERE length(text) >= 8),
+           |j AS (SELECT pr.id_a, pr.id_b, a.bk AS bka, b.bk AS bkb,
+           |        list_sort(list_distinct(a.bk || b.bk))[1:128] AS x
+           |      FROM pr JOIN sk a ON a.doc_id = pr.id_a
+           |              JOIN sk b ON b.doc_id = pr.id_b),
+           |e AS (SELECT id_a, id_b,
+           |        len(list_intersect(list_intersect(x, bka), bkb)) AS common,
+           |        len(x) AS nx, len(bka) AS na, len(bkb) AS nb,
+           |        bka[len(bka)] AS topa, bkb[len(bkb)] AS topb
+           |      FROM j),
+           |f AS (SELECT id_a, id_b,
+           |        CASE WHEN nx = 0 THEN 0.0 ELSE common / nx END AS bk_jaccard,
+           |        CASE WHEN least(na, nb) = 0 THEN 0.0
+           |             ELSE common / least(least(na, nb), 128) END AS containment,
+           |        na * (2::DOUBLE ** 64) / topa AS card_a,
+           |        nb * (2::DOUBLE ** 64) / topb AS card_b
+           |      FROM e)
+           |SELECT id_a, id_b, bk_jaccard, containment, card_a, card_b,
+           |  round(CASE WHEN bk_jaccard <= 0.0 THEN 1.0
+           |             WHEN bk_jaccard = 1.0 THEN 0.0
+           |             ELSE least(-ln(bk_jaccard * 2.0 / (bk_jaccard + 1.0)) / 8, 1.0)
+           |        END, 6) AS mash_dist
+           |FROM f ORDER BY id_a, id_b""".stripMargin,
 
       "doc_stats" ->
         s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM $docsT),

@@ -1,0 +1,321 @@
+package graft.oracle
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic dedup channels: every per-element hash is
+  * md5-derived (two 32-bit halves of the hex digest packed into an int64),
+  * so an independent SQL engine (the DuckDB oracle) reproduces signatures,
+  * candidate sets, and estimator values bit-for-bit. These are full-fidelity
+  * counterparts of the fast murmur/fmix channels in [[graft.pipeline.Dedup]]
+  * / [[graft.docs.DocOps]] — same operator shapes (xor-permutation MinHash,
+  * majority-vote SimHash, pigeonhole block LSH, bottom-k estimators,
+  * HLL register math), exchanged-on-short-keys, built ENTIRELY from
+  * codegen'd Spark built-ins (no UDFs).
+  *
+  * Determinism contract (mirrored in SparkEntry.oracleSql):
+  *  - element hash h(s) = (int64)(md5(s)[0:8] hex) << 32 | (md5(s)[8:16] hex);
+  *    63-bit variant masks the sign bit so signed order == unsigned order in
+  *    both engines.
+  *  - permutation p seed = h63("perm" ++ p); slot minimum = min over
+  *    features of (h63(x) XOR seed_p) — xor of 63-bit values stays
+  *    nonnegative, so MIN agrees across engines.
+  *  - band key = md5 of the comma-joined decimal slot minima (r slots).
+  *  - SimHash bit b = majority vote 2·|{h : bit b set}| >= |hs|;
+  *    bit 63 contributes Long.MinValue (engines without 1<<63 literals
+  *    reproduce it as a CASE).
+  *  - HLL (np=12): idx = top np bits (arith shift + mask), rho = leading
+  *    zeros of the remaining 52-bit window + 1 via bin-string length,
+  *    register = max rho; raw estimate = alpha_m·m²·2^64 / S where
+  *    S = Σ 2^(64−M_j) is computed in EXACT integer arithmetic
+  *    (decimal(38,0) / HUGEINT) so the single final division is the only
+  *    rounding step.
+  */
+object Md5Channels {
+
+  /** md5-derived 64-bit hash of a string column (full range). */
+  def md5half(s: Column): Column =
+    shiftleft(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
+
+  /** sign-masked 63-bit variant: signed order == unsigned order. */
+  def md5half63(s: Column): Column = md5half(s).bitwiseAND(lit(Long.MaxValue))
+
+  /** xor-permutation seeds, computed with the same md5 construction the
+    * oracle uses (`h63('perm' || p)`) — JVM MD5 == SQL md5 by definition. */
+  def permSeeds(numPerm: Int): Array[Long] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPerm).map { p =>
+      val hex = digest.digest(s"perm$p".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      ((hi << 32) | lo) & Long.MaxValue
+    }.toArray
+  }
+
+  /** distinct whitespace-token n-gram STRINGS (n=1 → token set). */
+  def tokenNgramStrings(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    if (n == 1) array_distinct(toks)
+    else array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** distinct char k-shingle STRINGS. */
+  def charShingleStrings(text: Column, k: Int): Column =
+    array_distinct(transform(sequence(lit(1), length(text) - (k - 1)),
+      i => substring(text, i, lit(k))))
+
+  /** 63-bit md5 hashes of a string-array column. */
+  def hashes63(grams: Column): Column = transform(grams, g => md5half63(g))
+
+  /** xor-permutation MinHash slot minima (array of numPerm nonneg longs). */
+  def xorMinhashMinima(hs: Column, numPerm: Int): Column = {
+    val seeds = permSeeds(numPerm)
+    array((0 until numPerm).map { p =>
+      array_min(transform(hs, h => h.bitwiseXOR(lit(seeds(p)))))
+    }: _*)
+  }
+
+  /** LSH band keys over the slot minima: md5 of the comma-joined decimal
+    * minima of each band of `r` consecutive slots. */
+  def bandKeysMd5(minima: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws(",", (0 until r).map(j =>
+        element_at(minima, b * r + j + 1).cast("string")): _*))
+    }: _*)
+
+  /** majority-vote 64-bit SimHash over md5 hashes (full-range hashes).
+    * Bit b set iff 2·|{h : bit b of h set}| >= |hs|. */
+  def simhash64Md5(hs: Column): Column = {
+    val nGrams = size(hs)
+    val bits = (0 until 64).map { b =>
+      val cnt = size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
+      val weight = if (b == 63) lit(Long.MinValue) else lit(1L << b)
+      when(cnt * 2 >= nGrams, weight).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** interleaved?-no: CONTIGUOUS pigeonhole block values of a 64-bit sig:
+    * block i = bits [i·width, (i+1)·width). Any pair within Hamming ≤
+    * blocks−1 shares ≥ 1 block verbatim (exact cover). Contiguous (not
+    * interleaved) so the SQL mirror is a shift+mask. */
+  def contiguousBlocks(sig: Column, blocks: Int): Column = {
+    val width = 64 / blocks
+    val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+    array((0 until blocks).map { i =>
+      struct(lit(i).as("bi"), shiftright(sig, i * width).bitwiseAND(mask).as("bv"))
+    }: _*)
+  }
+
+  // ---------------------------------------------------------------- channels
+
+  /** doc near-dup pairs: md5 xor-perm MinHash (numPerm slots, bands×r
+    * banding), exact n-gram-jaccard confirm. Both candidate generation and
+    * confirm are engine-reproducible. */
+  def docMinhashDupPairsMd5(docs: DataFrame, n: Int = 3, tau: Double = 0.6,
+      numPerm: Int = 32, bands: Int = 16, r: Int = 2): DataFrame = {
+    val grams = tokenNgramStrings(col("text"), n)
+    val sigs = docs
+      .where(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"), col("grams"),
+        bandKeysMd5(xorMinhashMinima(hashes63(col("grams")), numPerm), bands, r).as("bks"))
+    val keyed = sigs.select(col("doc_id"), posexplode(col("bks")).as(Seq("bi", "bv")))
+    val cand = keyed.select(col("bi"), col("bv"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("bi"), col("bv"), col("doc_id").as("id_b")), Seq("bi", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val gsets = sigs.select(col("doc_id"), col("grams"))
+    cand
+      .join(gsets.toDF("id_a", "g_a"), "id_a")
+      .join(gsets.toDF("id_b", "g_b"), "id_b")
+      .withColumn("c", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("g_a")) + size(col("g_b")) - col("c")))
+      .where(col("jaccard") >= tau)
+      .select("id_a", "id_b")
+  }
+
+  /** doc near-dup pairs: md5 majority-vote SimHash, contiguous pigeonhole
+    * blocks (exact cover of Hamming ≤ blocks−1), Hamming filter. */
+  def docSimhashDupPairsMd5(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val sigs = docs
+      .where(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"),
+        simhash64Md5(hashes63(tokenNgramStrings(col("text"), n))).as("sh"))
+    val keyed = sigs
+      .select(col("doc_id"), col("sh"), explode(contiguousBlocks(col("sh"), blocks)).as("blk"))
+      .select(col("doc_id"), col("sh"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+    keyed.select(col("bi"), col("bv"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(keyed.select(col("bi"), col("bv"), col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("bi", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** image banded-MinHash channel, md5 variant: xor-perm MinHash over the
+    * distinct caption token set; confirm = phash Hamming ≤ ht AND exact
+    * token jaccard ≥ tau (the dup_pairs predicate). */
+  def imgMinhashDupPairsMd5(corpus: DataFrame, ht: Int = 3, tau: Double = 0.5,
+      numPerm: Int = 32, bands: Int = 16, r: Int = 2): DataFrame = {
+    val sigs = corpus.select(col("image_id"), col("phash"),
+      tokenNgramStrings(col("caption"), 1).as("toks"))
+      .select(col("image_id"), col("phash"), col("toks"),
+        bandKeysMd5(xorMinhashMinima(hashes63(col("toks")), numPerm), bands, r).as("bks"))
+    val keyed = sigs.select(col("image_id"), posexplode(col("bks")).as(Seq("bi", "bv")))
+    val cand = keyed.select(col("bi"), col("bv"), col("image_id").as("id_a"))
+      .join(keyed.select(col("bi"), col("bv"), col("image_id").as("id_b")), Seq("bi", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    confirmTokens(cand, sigs.select(col("image_id"), col("phash"), col("toks")), ht, tau)
+  }
+
+  /** image SimHash channel, md5 variant: majority-vote SimHash over the
+    * distinct caption token set, contiguous blocks; candidates additionally
+    * Hamming-filtered on phash (mirrors Dedup.candidatesSimhash, which
+    * Hamming-filters inside the bucket walk); confirm = dup_pairs predicate. */
+  def imgSimhashDupPairs(corpus: DataFrame, ht: Int = 3, tau: Double = 0.5,
+      simhashBlocks: Int = 4): DataFrame = {
+    val sigs = corpus.select(col("image_id"), col("phash"),
+      tokenNgramStrings(col("caption"), 1).as("toks"))
+      .withColumn("sh", simhash64Md5(hashes63(col("toks"))))
+    val keyed = sigs
+      .select(col("image_id"), col("phash"),
+        explode(contiguousBlocks(col("sh"), simhashBlocks)).as("blk"))
+      .select(col("image_id"), col("phash"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+    val cand = keyed.select(col("bi"), col("bv"), col("image_id").as("id_a"), col("phash").as("ph_a"))
+      .join(keyed.select(col("bi"), col("bv"), col("image_id").as("id_b"), col("phash").as("ph_b")),
+        Seq("bi", "bv"))
+      .where(col("id_a") < col("id_b") &&
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= ht)
+      .select("id_a", "id_b").distinct()
+    confirmTokens(cand, sigs.select(col("image_id"), col("phash"), col("toks")), ht, tau)
+  }
+
+  /** dup_pairs confirm predicate over (image_id, phash, toks). */
+  private def confirmTokens(cand: DataFrame, rows: DataFrame,
+      ht: Int, tau: Double): DataFrame =
+    cand
+      .join(rows.toDF("id_a", "ph_a", "t_a"), "id_a")
+      .join(rows.toDF("id_b", "ph_b", "t_b"), "id_b")
+      .where(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= ht)
+      .withColumn("c", size(array_intersect(col("t_a"), col("t_b"))))
+      .where(col("c").cast("double") / (size(col("t_a")) + size(col("t_b")) - col("c")) >= tau)
+      .select("id_a", "id_b")
+
+  // ------------------------------------------------------------- HLL (md5)
+
+  /** md5-HLL raw estimate per group: groups by `keys`, hashes `elem`
+    * (a string column; pass pre-distinct rows), emits the RAW
+    * alpha·m²/S estimate (no small/large-range corrections — S is computed
+    * in exact integer arithmetic so the one final division is the only
+    * float step, making the estimate engine-reproducible; correction-branch
+    * estimators live in [[graft.sketch.Hll]]). */
+  def hllRawEstimate(rows: DataFrame, keys: Seq[String], elem: Column,
+      np: Int = 12, estName: String = "est"): DataFrame = {
+    val m = 1 << np
+    val alphaM = 0.7213 / (1.0 + 1.079 / m)
+    val kConst = alphaM * m * m * math.pow(2.0, 64)
+    val wBits = 64 - np
+    val wMask = (1L << wBits) - 1
+    val h = md5half(elem)
+    val idx = shiftright(h, wBits).bitwiseAND(lit((m - 1).toLong))
+    val w = h.bitwiseAND(lit(wMask))
+    val rho = when(w === 0L, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    val kc = keys.map(col)
+    rows
+      .select(kc :+ idx.as("idx") :+ rho.as("rho"): _*)
+      .groupBy((kc :+ col("idx")): _*)
+      .agg(max(col("rho")).as("regM"))
+      .groupBy(kc: _*)
+      .agg(
+        sum(pow(lit(2.0), lit(64) - col("regM")).cast("decimal(38,0)")).as("sPres"),
+        count(lit(1)).as("nPres"))
+      .withColumn("sTot", col("sPres") + (lit(m.toLong) - col("nPres")) * two64)
+      .withColumn(estName, lit(kConst) / col("sTot").cast("double"))
+      .drop("sPres", "nPres", "sTot")
+  }
+
+  /** per-source distinct-token counts: exact + md5-HLL raw estimate. */
+  def hllTokensBySourceMd5(docs: DataFrame, np: Int = 12): DataFrame = {
+    // duplicates are harmless to both aggregates (register max / countDistinct)
+    val toks = docs.select(col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("t"))
+    val exact = toks.groupBy("source").agg(countDistinct(col("t")).as("n_distinct_exact"))
+    val est = hllRawEstimate(toks, Seq("source"), col("t"), np, "est_distinct_tokens")
+    exact.join(est, "source")
+  }
+
+  /** deterministic per-partition cluster lineage metrics: partition =
+    * top-5 md5 bits of cluster_id (a deterministic 32-way hash partition of
+    * the cluster space — unlike spark_partition_id, identical at any
+    * parallelism), with per-partition row count, exact distinct clusters,
+    * and the md5-HLL raw distinct estimate. */
+  def clusterMetricsMd5(clustered: DataFrame, np: Int = 12): DataFrame = {
+    val part = shiftright(md5half(col("cluster_id")), 59).bitwiseAND(lit(31L))
+    val base = clustered.withColumn("part", part)
+    val exact = base.groupBy("part").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("cluster_id")).as("n_clusters_exact"))
+    val est = hllRawEstimate(
+      base.select(col("part"), col("cluster_id")),
+      Seq("part"), col("cluster_id"), np, "distinct_clusters_est")
+    exact.join(est, "part")
+  }
+
+  // ------------------------------------------- bottom-k estimators (md5)
+
+  /** per-pair bottom-k estimator suite over md5-hashed char k-shingles,
+    * for a deterministic candidate pair set: bottom-s jaccard (closed form
+    * of the reference's early-stop merge walk: X = bottom-s of A∪B,
+    * J = |X∩A∩B|/|X|), containment (common / min(|A|,|B|,s)), streaming
+    * cardinality (|sk|·2^64/max), and mash distance (rounded to 6 dp —
+    * the one ln() call; engines' ln may differ in the last ulp). */
+  def docSketchEstimatesMd5(docs: DataFrame, pairs: DataFrame,
+      shingleK: Int = 8, s: Int = 128): DataFrame = {
+    val hs = hashes63(charShingleStrings(col("text"), shingleK))
+    val sk = docs
+      .where(length(col("text")) >= shingleK)
+      .select(col("doc_id"),
+        slice(array_sort(array_distinct(hs)), 1, s).as("bk"))
+    val two64 = math.pow(2.0, 64)
+    def card(bk: Column): Column = {
+      val top = element_at(bk, size(bk)).cast("double")
+      when(size(bk) === 0, 0.0)
+        .when(top === 0.0, size(bk).cast("double"))
+        .otherwise(size(bk).cast("double") * lit(two64) / top)
+    }
+    val joined = pairs
+      .join(sk.toDF("id_a", "bk_a"), "id_a")
+      .join(sk.toDF("id_b", "bk_b"), "id_b")
+      .withColumn("x", slice(array_sort(array_union(col("bk_a"), col("bk_b"))), 1, s))
+      .withColumn("common",
+        size(array_intersect(array_intersect(col("x"), col("bk_a")), col("bk_b"))))
+      .withColumn("bk_jaccard",
+        when(size(col("x")) === 0, 0.0)
+          .otherwise(col("common").cast("double") / size(col("x")).cast("double")))
+      .withColumn("containment",
+        when(least(size(col("bk_a")), size(col("bk_b"))) === 0, 0.0)
+          .otherwise(col("common").cast("double") /
+            least(least(size(col("bk_a")), size(col("bk_b"))), lit(s)).cast("double")))
+    joined
+      .withColumn("card_a", card(col("bk_a")))
+      .withColumn("card_b", card(col("bk_b")))
+      .withColumn("mash_dist", round(
+        when(col("bk_jaccard") <= 0.0, 1.0)
+          .when(col("bk_jaccard") === 1.0, 0.0)
+          .otherwise(least(
+            -log(col("bk_jaccard") * 2.0 / (col("bk_jaccard") + 1.0)) / shingleK,
+            lit(1.0))), 6))
+      .select("id_a", "id_b", "bk_jaccard", "containment", "card_a", "card_b", "mash_dist")
+  }
+}
