@@ -95,17 +95,64 @@ object OrderMinHash {
     blocks
   }
 
-  /** fraction of equal blocks; -1 on shape mismatch like the reference. */
-  def similarity(a: Array[Array[Byte]], b: Array[Array[Byte]]): Double = {
+  /** sketch of the REVERSE COMPLEMENT strand — the reference's `rcdata`
+    * (`/root/reference/src/OrderMinHash.cpp:106-150`: rc mode sketches both
+    * `seq` and `reverseComplement(seq)` with the same (k,l,m,seed)). */
+  def sketchRc(data: Array[Byte], k: Int, l: Int, m: Int, seed: Long): Array[Array[Byte]] =
+    sketch(Dna.reverseComplement(data), k, l, m, seed)
+
+  /** circular block match (`OrderMinHash.cpp:445-458`): block `a` equals a
+    * rotation of block `b` by j·k bytes for some j in [0, l). */
+  private def blockMatchCircular(a: Array[Byte], b: Array[Byte], k: Int, l: Int): Boolean = {
+    val block = a.length
+    if (b.length != block) return false
+    var j = 0
+    while (j < l) {
+      val off = j * k
+      // a[0, block-off) == b[off, block)  &&  a[block-off, block) == b[0, off)
+      if (java.util.Arrays.equals(a, 0, block - off, b, off, block) &&
+        java.util.Arrays.equals(a, block - off, block, b, 0, off)) return true
+      j += 1
+    }
+    false
+  }
+
+  /** fraction of equal blocks; -1 on shape mismatch like the reference.
+    * `circular` enables the rotated-block variant
+    * (`OrderMinHash.cpp:445-458`; plain memcmp when l < 2). */
+  def similarity(a: Array[Array[Byte]], b: Array[Array[Byte]],
+      k: Int, l: Int, circular: Boolean): Double = {
     if (a.length != b.length) return -1.0
     if (a.length == 0) return 0.0
+    val rot = circular && l >= 2
     var count = 0
     var i = 0
     while (i < a.length) {
-      if (java.util.Arrays.equals(a(i), b(i))) count += 1
+      val eq =
+        if (rot) blockMatchCircular(a(i), b(i), k, l)
+        else java.util.Arrays.equals(a(i), b(i))
+      if (eq) count += 1
       i += 1
     }
     count.toDouble / a.length
+  }
+
+  def similarity(a: Array[Array[Byte]], b: Array[Array[Byte]]): Double =
+    similarity(a, b, 0, 0, circular = false)
+
+  /** reference `compare_sketches` (`OrderMinHash.cpp:422-443`): forward
+    * score, plus — when a reverse-complement sketch exists — the backward
+    * score (sk1's rcdata against sk2's data, falling back to sk1's data
+    * against sk2's rcdata), returning `max(fwd, bwd)`. */
+  def compareSketches(aFwd: Array[Array[Byte]], aRc: Array[Array[Byte]],
+      bFwd: Array[Array[Byte]], bRc: Array[Array[Byte]],
+      k: Int, l: Int, circular: Boolean): Double = {
+    val fwd = similarity(aFwd, bFwd, k, l, circular)
+    val bwd =
+      if (aRc != null && aRc.nonEmpty) similarity(aRc, bFwd, k, l, circular)
+      else if (bRc != null && bRc.nonEmpty) similarity(aFwd, bRc, k, l, circular)
+      else 0.0
+    math.max(fwd, bwd)
   }
 
   def distance(a: Array[Array[Byte]], b: Array[Array[Byte]]): Double = 1.0 - similarity(a, b)

@@ -392,6 +392,44 @@ case class OmhSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** OrderMinHash sketch of the reverse-complement strand — the reference's
+  * `rcdata` (`/root/reference/src/OrderMinHash.cpp:106-150`). */
+case class OmhSketchRcExpr(child: Expression, k: Int, l: Int, m: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "omh_sketch_rc"
+  protected override def nullSafeEval(t: Any): Any = {
+    val bytes = t.asInstanceOf[UTF8String].getBytes
+    new GenericArrayData(OrderMinHash.sketchRc(bytes, k, l, m, seed).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** reference `compare_sketches` with strand awareness + circular variant
+  * (`/root/reference/src/OrderMinHash.cpp:422-458`): max of the forward
+  * block-match score and the reverse-complement score (a's rc sketch vs b's
+  * forward sketch); `circular` matches blocks up to rotation by j·k bytes. */
+case class OmhCompare(aFwd: Expression, aRc: Expression, bFwd: Expression,
+    k: Int, l: Int, circular: Boolean)
+    extends TernaryExpression with CodegenFallback {
+  override val nullIntolerant: Boolean = true
+  override def first: Expression = aFwd
+  override def second: Expression = aRc
+  override def third: Expression = bFwd
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "omh_compare"
+  protected override def nullSafeEval(a: Any, ar: Any, b: Any): Any = {
+    val fa = a.asInstanceOf[ArrayData].toArray[Array[Byte]](BinaryType)
+    val ra = ar.asInstanceOf[ArrayData].toArray[Array[Byte]](BinaryType)
+    val fb = b.asInstanceOf[ArrayData].toArray[Array[Byte]](BinaryType)
+    OrderMinHash.compareSketches(fa, ra, fb, null, k, l, circular)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(aFwd = f, aRc = s, bFwd = t)
+}
+
 /** CWS/HistoSketch over a feature multiset: features are jump-hashed into
   * `numBins` spectrum bins then consistent-weighted-sampled into `sketchSize`
   * (slot, weight) pairs (`/root/reference/src/histoSketch.cpp:229-357`).

@@ -52,6 +52,11 @@ object functions {
     c(CharShingleJaccard(e(a), e(b), k))
   def lcs_len(a: Column, b: Column): Column = c(LcsLen(e(a), e(b)))
   def omh_similarity(a: Column, b: Column): Column = c(OmhSimilarity(e(a), e(b)))
+  def omh_sketch_rc(text: Column, k: Int = 4, l: Int = 2, m: Int = 64, seed: Long = 32L): Column =
+    c(OmhSketchRcExpr(e(text), k, l, m, seed))
+  def omh_compare(aFwd: Column, aRc: Column, bFwd: Column,
+      k: Int = 4, l: Int = 2, circular: Boolean = false): Column =
+    c(OmhCompare(e(aFwd), e(aRc), e(bFwd), k, l, circular))
   def weighted_jaccard(a: Column, b: Column): Column = c(WeightedJaccard(e(a), e(b)))
   def dna_canonical_kmers(seq: Column, k: Int = 21): Column = c(DnaCanonicalKmers(e(seq), k))
   def dna_revcomp(seq: Column): Column = c(DnaRevComp(e(seq)))
@@ -107,6 +112,11 @@ object functions {
       "minimizers" -> (xs => MinimizersExpr(xs.head, intArg(xs(1)))),
       "omh_sketch" -> (xs =>
         OmhSketchExpr(xs.head, intArg(xs(1)), intArg(xs(2)), intArg(xs(3)), longArg(xs(4)))),
+      "omh_sketch_rc" -> (xs =>
+        OmhSketchRcExpr(xs.head, intArg(xs(1)), intArg(xs(2)), intArg(xs(3)), longArg(xs(4)))),
+      "omh_compare" -> (xs =>
+        OmhCompare(xs.head, xs(1), xs(2), intArg(xs(3)), intArg(xs(4)),
+          lit(xs(5)).asInstanceOf[Boolean])),
       "cws_sketch" -> (xs => CwsSketchExpr(xs.head, intArg(xs(1)), intArg(xs(2)), longArg(xs(3)))),
       "weighted_jaccard" -> (xs => WeightedJaccard(xs.head, xs(1))),
       "hll_jaccard" -> (xs => HllJaccard(xs.head, xs(1))),

@@ -56,6 +56,57 @@ class DnaParitySpec extends AnyFunSuite {
     }
   }
 
+  test("OMH rc compare: reverse-strand duplicate scores max(fwd, rc) = 1.0") {
+    val s = randDna(17, 4000)
+    val rc = Dna.reverseComplement(s)
+    // k=8: 4^8 distinct k-mers ≫ sequence length, so unrelated strands share
+    // few winners (k=4 would make ANY two long DNA strings score ~0.5: both
+    // contain every 4-mer, so the same (id, occ) wins in both and only the
+    // position order differs — inherent to the reference's weighted-multiset
+    // semantics, not a bug)
+    val (k, l, m, seed) = (8, 2, 64, 32L)
+    val skS = OrderMinHash.sketch(s.getBytes("US-ASCII"), k, l, m, seed)
+    val skRcOfS = OrderMinHash.sketchRc(s.getBytes("US-ASCII"), k, l, m, seed)
+    val skOther = OrderMinHash.sketch(rc.getBytes("US-ASCII"), k, l, m, seed)
+    // forward-only: a reverse-strand duplicate looks unrelated
+    val fwd = OrderMinHash.similarity(skS, skOther)
+    assert(fwd < 0.2, s"fwd=$fwd")
+    // rc-aware compare_sketches: rcdata of s IS the sketch of rc ⇒ bwd = 1
+    val sc = OrderMinHash.compareSketches(skS, skRcOfS, skOther, null, k, l, circular = false)
+    assert(sc === 1.0)
+    // and the b-side fallback (sk2.rcdata) scores identically
+    val sc2 = OrderMinHash.compareSketches(skOther, null, skS, skRcOfS, k, l, circular = false)
+    assert(sc2 === 1.0)
+    // self-comparison unaffected
+    assert(OrderMinHash.compareSketches(skS, skRcOfS, skS, null, k, l, circular = false) === 1.0)
+  }
+
+  test("OMH circular compare: rotated blocks match iff circular flag set") {
+    val s = randDna(19, 4000)
+    val (k, l, m, seed) = (4, 3, 64, 32L)
+    val sk = OrderMinHash.sketch(s.getBytes("US-ASCII"), k, l, m, seed)
+    // rotate every block by j·k bytes — the exact variant of
+    // /root/reference/src/OrderMinHash.cpp:445-458
+    for (j <- 1 until l) {
+      val rot = sk.map { b =>
+        val out = new Array[Byte](b.length)
+        System.arraycopy(b, j * k, out, 0, b.length - j * k)
+        System.arraycopy(b, 0, out, b.length - j * k, j * k)
+        out
+      }
+      assert(OrderMinHash.similarity(sk, rot, k, l, circular = true) === 1.0, s"j=$j")
+      assert(OrderMinHash.similarity(sk, rot, k, l, circular = false) < 0.05, s"j=$j plain")
+    }
+    // l < 2 degenerates to plain memcmp per the reference
+    val sk1 = OrderMinHash.sketch(s.getBytes("US-ASCII"), k, 1, m, seed)
+    assert(OrderMinHash.similarity(sk1, sk1, k, 1, circular = true) === 1.0)
+    // a circular genome rotation scores at least as high with the flag
+    val rotSeq = s.substring(1000) + s.substring(0, 1000)
+    val skRot = OrderMinHash.sketch(rotSeq.getBytes("US-ASCII"), k, l, m, seed)
+    assert(OrderMinHash.similarity(sk, skRot, k, l, circular = true) >=
+      OrderMinHash.similarity(sk, skRot, k, l, circular = false))
+  }
+
   test("HLL over canonical 32-mers: cardinality within tolerance") {
     val s = randDna(13, 120000)
     val kmers = Dna.canonical32merHashes(s.getBytes("US-ASCII"))
