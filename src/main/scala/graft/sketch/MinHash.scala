@@ -90,6 +90,33 @@ object MinHash {
     if (minLen == 0) 0.0 else common.toDouble / math.min(minLen.toLong, sketchSize.toLong)
   }
 
+  /** CONTAINMENT-MODE sketch (`/root/reference/src/Sketch.h:63-66`,
+    * `MinHash.cpp:817-823`): sketch size is PROPORTIONAL to the feature
+    * stream length (the reference constructs `MinHash(k, size = len/factor)`
+    * for genome containment), so a long reference genome keeps
+    * proportionally more hashes than a short query. NON-MERGEABLE by
+    * design, exactly like the reference (`MinHash.cpp:822`: "does not
+    * support merge operation since the sketchSize is not fixed size") —
+    * merging two proportional sketches under either length would bias the
+    * containment denominator; re-sketch the concatenated stream instead. */
+  def containmentSketch(hashes: Array[Long], factor: Int): Array[Long] =
+    bottomK(hashes, math.max(1, hashes.length / math.max(1, factor)))
+
+  /** reference `containJaccard` (`/root/reference/src/MinHash.cpp:865-934`):
+    * FULL merge walk of both sorted lists — unlike [[jaccardBottomK]] there
+    * is no early stop at a fixed sketch size — common / min(|A|, |B|). */
+  def containJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0
+    var common = 0L
+    while (i < a.length && j < b.length) {
+      if (unsignedLess(a(i), b(j))) i += 1
+      else if (unsignedLess(b(j), a(i))) j += 1
+      else { i += 1; j += 1; common += 1 }
+    }
+    val denom = math.min(a.length, b.length)
+    if (denom == 0) 0.0 else common.toDouble / denom
+  }
+
   def mashDistance(jaccard: Double, kmerSize: Int): Double = {
     if (jaccard <= 0.0) 1.0
     else if (jaccard == 1.0) 0.0

@@ -43,6 +43,12 @@ object Kernels {
   def containmentSorted(a: ArrayData, b: ArrayData, s: Int): Double =
     MinHash.containmentBottomK(a.toLongArray(), b.toLongArray(), s)
 
+  def containmentSketch(features: ArrayData, factor: Int): ArrayData =
+    longs(MinHash.containmentSketch(features.toLongArray(), factor))
+
+  def containJaccard(a: ArrayData, b: ArrayData): Double =
+    MinHash.containJaccard(a.toLongArray(), b.toLongArray())
+
   def sigJaccard(a: ArrayData, b: ArrayData): Double =
     MinHash.sigJaccard(a.toLongArray(), b.toLongArray())
 

@@ -96,6 +96,34 @@ case class BottomKExpr(child: Expression, s: Int)
 }
 
 /** LSH band keys over a k-perm signature (`bands` hashes of `rows` slots). */
+/** containment-mode bottom-k: sketch size proportional to the feature
+  * stream length (`/root/reference/src/Sketch.h:63-66`); non-mergeable by
+  * design like the reference (`MinHash.cpp:817-823`). */
+case class ContainmentSketchExpr(child: Expression, factor: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "containment_sketch"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.containmentSketch(t.asInstanceOf[ArrayData], factor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.containmentSketch($c, $factor)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** reference containJaccard: full merge walk, common / min(|A|, |B|)
+  * (`/root/reference/src/MinHash.cpp:865-934`). */
+case class ContainJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "contain_jaccard"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.containJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.containJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class BandKeysExpr(child: Expression, bands: Int, rows: Int)
     extends UnaryExpression with KernelCall {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

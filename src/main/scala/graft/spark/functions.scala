@@ -27,6 +27,9 @@ object functions {
   def minhash_sig(features: Column, numPerm: Int = 128, seed: Long = 42L): Column =
     c(MinHashSigExpr(e(features), numPerm, seed))
   def bottomk_sketch(features: Column, s: Int = 1000): Column = c(BottomKExpr(e(features), s))
+  def containment_sketch(features: Column, factor: Int = 1000): Column =
+    c(ContainmentSketchExpr(e(features), factor))
+  def contain_jaccard(a: Column, b: Column): Column = c(ContainJaccard(e(a), e(b)))
   def simhash64(features: Column): Column = c(SimHash64Expr(e(features)))
   def omh_sketch(text: Column, k: Int = 4, l: Int = 2, m: Int = 64, seed: Long = 32L): Column =
     c(OmhSketchExpr(e(text), k, l, m, seed))
@@ -95,6 +98,8 @@ object functions {
       "phash_bitgrams" -> (xs => PhashBitgrams(xs.head, intArg(xs(1)), intArg(xs(2)))),
       "minhash_sig" -> (xs => MinHashSigExpr(xs.head, intArg(xs(1)), longArg(xs(2)))),
       "bottomk_sketch" -> (xs => BottomKExpr(xs.head, intArg(xs(1)))),
+      "containment_sketch" -> (xs => ContainmentSketchExpr(xs.head, intArg(xs(1)))),
+      "contain_jaccard" -> (xs => ContainJaccard(xs.head, xs(1))),
       "simhash64" -> (xs => SimHash64Expr(xs.head)),
       "band_keys" -> (xs => BandKeysExpr(xs.head, intArg(xs(1)), intArg(xs(2)))),
       "sig_jaccard" -> (xs => SigJaccard(xs.head, xs(1))),

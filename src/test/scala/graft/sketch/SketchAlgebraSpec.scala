@@ -78,6 +78,33 @@ class SketchAlgebraSpec extends AnyFunSuite {
 
   // ---- k-perm signature ----
 
+  test("containment-mode sketch: proportional size, containJaccard accurate on nested sets") {
+    val g = new SplitMix64(991)
+    val b = randSet(97, 60000)
+    val aContained = b.take(12000)
+    for (c <- Seq(1.0, 0.5, 0.2)) {
+      val nIn = (12000 * c).toInt
+      val a = aContained.take(nIn) ++ randSet(991 + nIn, 12000 - nIn)
+      val exact = {
+        val sa = a.toSet; val sb = b.toSet
+        sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size)
+      }
+      val f = 20
+      val skA = MinHash.containmentSketch(a, f)
+      val skB = MinHash.containmentSketch(b, f)
+      // size proportional to the stream length — the containment-mode
+      // contract (Sketch.h:63-66); unequal sizes are the point
+      assert(skA.length === a.length / f)
+      assert(skB.length === b.length / f)
+      val est = MinHash.containJaccard(skA, skB)
+      assert(math.abs(est - exact) <= 4.0 / math.sqrt(12000.0 / f),
+        s"c=$c exact=$exact est=$est")
+    }
+    // degenerate: empty side → 0, factor larger than stream → size 1
+    assert(MinHash.containJaccard(Array.emptyLongArray, Array(1L)) === 0.0)
+    assert(MinHash.containmentSketch(Array(3L, 1L), 100).length === 1)
+  }
+
   test("128-perm signature jaccard estimate within 4/sqrt(128)") {
     val seeds = MinHash.permAffine(128, 42)
     val (a, b, exactJ) = overlappingSets(13, 5000, 3000)
