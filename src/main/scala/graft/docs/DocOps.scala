@@ -27,29 +27,56 @@ object DocOps {
     keyed.join(groups, "k").select("doc_id", "canon_id", "group_n")
   }
 
-  /** exact token n-gram jaccard pairs via inverted shingle index —
-    * the scalable exact algorithm (shuffle on shingle hash, then on pair).
-    * `maxDf` drops shingles occurring in more than maxDf docs (stopword
-    * shingles explode the join); pass Int.MaxValue for provably-exact. */
+  /** Exact token n-gram jaccard pairs via a PREFIX-FILTERED inverted index
+    * (AllPairs/ppjoin family, Xiao et al.) — provably the same output as the
+    * naive full-index self-join, at a fraction of the join volume:
+    *
+    *  - global gram order = (document frequency asc, gram): rare grams
+    *    first, so hot boilerplate shingles sort to the END of every doc's
+    *    ordered gram list and almost never enter a prefix;
+    *  - prefix(d) = first |d| − ⌈τ·|d|⌉ + 1 grams of d in that order.
+    *    SOUND: J(A,B) ≥ τ ⇒ |B| ≥ τ|A| ⇒ overlap ≥ τ/(1+τ)(|A|+|B|) ≥
+    *    τ·max(|A|,|B|); by the positional lemma the FIRST common gram (in
+    *    global order) sits at position ≤ |d| − overlap + 1 ≤ prefix length
+    *    in BOTH docs, so every qualifying pair collides prefix-to-prefix.
+    *    τ is nudged down by 1e-9 before the ceil so float rounding can only
+    *    LENGTHEN the prefix (never unsound);
+    *  - candidates are confirmed with the exact merge-walk jaccard over the
+    *    full sorted gram sets, so false candidates cost one codegen'd walk.
+    *
+    * 100 TB shape: df is one groupBy on the gram hash; the prefix self-join
+    * shuffles ~(1−τ) of the index, keyed on rare grams (near-uniform
+    * buckets); AQE skew-join backstops the residue. `maxDf` (legacy knob)
+    * additionally drops grams above a document-frequency cap BEFORE prefix
+    * selection — with it set, recall on pairs whose overlap is exclusively
+    * hot grams is sacrificed (documented; default keeps exactness). */
   def ngramDupPairsExact(docs: DataFrame, n: Int = 3, tau: Double = 0.6,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    val grams0 = docs.select(col("doc_id"), explode(gf.token_ngrams(col("text"), n)).as("g"))
+    import org.apache.spark.sql.expressions.Window
+    val gramSets = docs.select(col("doc_id"), gf.token_ngrams(col("text"), n).as("gs"))
+      .where(size(col("gs")) > 0)
+    val grams0 = gramSets.select(col("doc_id"), explode(col("gs")).as("g"))
     val grams =
       if (maxDf == Int.MaxValue) grams0
       else {
-        val df = grams0.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
-        grams0.join(df.select("g"), "g")
+        val dfCap = grams0.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
+        grams0.join(dfCap.select("g"), "g")
       }
-    val cnt = docs.select(col("doc_id"), size(gf.token_ngrams(col("text"), n)).as("nsh"))
-    val inter = grams.select(col("doc_id").as("id_a"), col("g"))
-      .join(grams.select(col("doc_id").as("id_b"), col("g")), "g")
+    val dfc = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val pref = grams.join(dfc, "g")
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("g"))))
+      .withColumn("nsh", count(lit(1)).over(byDoc))
+      .where(col("rn") <= col("nsh") - ceil((lit(tau) - 1e-9) * col("nsh")) + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = pref.toDF("id_a", "g")
+      .join(pref.toDF("id_b", "g"), "g")
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
-    inter
-      .join(cnt.select(col("doc_id").as("id_a"), col("nsh").as("na")), "id_a")
-      .join(cnt.select(col("doc_id").as("id_b"), col("nsh").as("nb")), "id_b")
-      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
-      .where(col("jaccard") >= tau)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(gramSets.toDF("id_a", "gs_a"), "id_a")
+      .join(gramSets.toDF("id_b", "gs_b"), "id_b")
+      .where(gf.exact_jaccard(col("gs_a"), col("gs_b")) >= tau)
       .select("id_a", "id_b")
   }
 

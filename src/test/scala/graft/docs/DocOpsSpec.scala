@@ -23,6 +23,25 @@ class DocOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("canon_id") <= r.getAs[Long]("doc_id")))
   }
 
+  test("prefix-filtered ngram join == brute-force all-pairs (lossless pruning)") {
+    import spark.implicits._
+    val gf = graft.spark.functions
+    for (tau <- Seq(0.4, 0.6, 0.8)) {
+      val brute = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val sets = brute.map { case (id, t) => id ->
+        graft.sketch.Shingles.tokenNgrams(t, 3).toSet }.filter(_._2.nonEmpty)
+      val expect = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= tau
+      } yield (ia, ib)).toSet
+      val got = DocOps.ngramDupPairsExact(docs, 3, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expect, s"tau=$tau")
+    }
+  }
+
   test("minhash LSH pairs == exact ngram pairs at tau 0.6 (recall 1.0 here)") {
     val exact = DocOps.ngramDupPairsExact(docs, 3, 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
