@@ -20,10 +20,13 @@ import graft.pipeline.Dedup
   */
 object Bench {
 
+  // embed_knn_ivf (the IVF scale path, recall@10 >= 0.95 gated in AnnSpec)
+  // is the ANN headline; exact embed_knn stays a driver-correctness oracle
+  // baseline but its O(N^2) cross join is not a scale-representative number
   private val headline = Seq(
     "dup_pairs", "dup_pairs_minhash",
     "doc_ngram_dup_pairs", "doc_minhash_dup_pairs", "doc_stats",
-    "embed_knn", "img_decode_meta")
+    "embed_knn_ivf", "img_decode_meta")
 
   /** `partitions` defaults to the core count for headline runs; the scaling
     * protocol pins it to 32 at EVERY level — a real cluster sizes shuffle

@@ -203,6 +203,10 @@ object SparkEntry {
     "embed_knn_lsh" -> ((s, dir) =>
       Ann.hyperplaneLshTopK(embeds(s, dir), 10).orderBy("query_id", "rank")),
 
+    // IVF is the ANN scale path (bench headline; recall@10 >= 0.95 vs exact
+    // gated in AnnSpec). At small sf every row queries; at 100 TB pass a
+    // sampled queryFilter (e.g. pmod(vec_id, N) === 0) — exact embed_knn
+    // above stays the small-sf correctness oracle only.
     "embed_knn_ivf" -> ((s, dir) =>
       Ann.ivfTopK(embeds(s, dir), 10).orderBy("query_id", "rank")),
 

@@ -104,12 +104,16 @@ object Ann {
         .as("cid"), col("v").as("cvec"))
       .localCheckpoint()
 
+    // nearest-centroid assignment via max_by aggregation — a partial+final
+    // hash aggregate with NO sort, vs the earlier Window.partitionBy(vec_id)
+    // + row_number which full-sorted all centroids×N scored rows; ties break
+    // toward the smaller cid via the (sim, -cid) struct order
     def assign(c: DataFrame): DataFrame = {
-      val scored = base.crossJoin(broadcast(c))
+      base.crossJoin(broadcast(c))
         .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cvec")).as("sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(first(col("v")).as("v"),
+          max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
         .select("vec_id", "v", "cid")
     }
 
@@ -127,12 +131,16 @@ object Ann {
     val assigned = assign(cent).localCheckpoint()
     val queries = assigned.where(queryFilter)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // top-nprobe lists per query without a window sort: collect the
+    // (centroids)-element list per query and slice the sorted prefix —
+    // struct(-csim, cid) ascending == csim desc with cid tiebreak
     val qProbes = queries.crossJoin(broadcast(cent))
       .select(col("query_id"), col("qv"), col("cid"), cosine(col("qv"), col("cvec")).as("csim"))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
-    val probes = qProbes.withColumn("rn", row_number().over(wq))
-      .where(col("rn") <= nprobe).select("query_id", "qv", "cid")
+    val probes = qProbes.groupBy("query_id")
+      .agg(first(col("qv")).as("qv"),
+        slice(array_sort(collect_list(struct((-col("csim")).as("nsim"), col("cid")))),
+          1, nprobe).as("top"))
+      .select(col("query_id"), col("qv"), explode(col("top.cid")).as("cid"))
     val scored = probes.join(assigned.select(col("cid"), col("vec_id").as("neighbor_id"), col("v")), "cid")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
