@@ -27,9 +27,18 @@ import graft.spark.{functions => gf}
   */
 object StreamingDedup {
 
+  /** number of band-key hash buckets the persistent index is partitioned
+    * by: each micro-batch reads ONLY the index partitions its own band keys
+    * hash into (parquet partition pruning), so the per-batch join cost
+    * scales with the batch's bucket coverage, not the total index size. A
+    * small batch touches few buckets; 256 keeps partition dirs coarse
+    * enough that a full-coverage batch still reads 256 files, not 10^5. */
+  val IndexBuckets = 256
+
   /** run the incremental pipeline over a parquet-backed stream.
     * Returns the started query; results accumulate under `outDir/dup_pairs`,
-    * the LSH index under `outDir/index`. */
+    * the LSH index under `outDir/index` (hash-partitioned by band-key
+    * bucket). */
   def start(spark: SparkSession, sourceDir: String, outDir: String,
       cfg: Dedup.Config = Dedup.defaultConfig): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
@@ -50,11 +59,23 @@ object StreamingDedup {
             explode(gf.band_keys(col("minhash"), cfg.bands, cfg.rowsPerBand)).as("bv"),
             col("caption"))
           .withColumn("tok", gf.token_ngrams(col("caption"), 1))
+          .withColumn("bucket", pmod(col("bv"), lit(IndexBuckets.toLong)).cast("int"))
           .drop("caption")
           .localCheckpoint()
 
         val haveIndex = new java.io.File(indexDir, "_SUCCESS").exists()
-        val oldIndex = if (haveIndex) spark.read.parquet(indexDir) else null
+        // collect the batch's bucket set (bounded: <= IndexBuckets values)
+        // and push it as a PARTITION filter — the index read then lists and
+        // scans only colliding bucket directories instead of re-shuffling
+        // the whole accumulated index every micro-batch
+        val oldIndex =
+          if (!haveIndex) null
+          else {
+            val batchBuckets = keyed.select("bucket").distinct()
+              .collect().map(_.getInt(0)).toSeq
+            spark.read.parquet(indexDir)
+              .where(col("bucket").isInCollection(batchBuckets))
+          }
 
         // pair order must be normalized with least/greatest: a NEW row's id
         // can be on either side of an OLD row's id, so `id_a < id_b` on the
@@ -72,15 +93,20 @@ object StreamingDedup {
         val cols = keyed.select("bv", "id", "phash", "tok")
         val newNew = confirmPairs(cols, cols)
         val pairs =
-          if (oldIndex != null) newNew.union(confirmPairs(cols, oldIndex)).distinct()
+          if (oldIndex != null)
+            newNew.union(confirmPairs(cols, oldIndex.select("bv", "id", "phash", "tok")))
+              .distinct()
           else newNew
         pairs
           .select(format_string("img_%010d", col("id_a")).as("id_a"),
             format_string("img_%010d", col("id_b")).as("id_b"))
           .write.mode("append").parquet(pairsDir)
-        // append this batch to the index (read-before-overwrite is unsafe;
-        // the index is append-only like an Iceberg append commit)
-        keyed.select("bv", "id", "phash", "tok").write.mode("append").parquet(indexDir)
+        // append this batch to the index partitioned by band-key bucket
+        // (read-before-overwrite is unsafe; the index is append-only like an
+        // Iceberg append commit, and the bucket dirs are its hash partition
+        // spec)
+        keyed.select("bucket", "bv", "id", "phash", "tok")
+          .write.mode("append").partitionBy("bucket").parquet(indexDir)
         ()
       }
       .start()

@@ -42,5 +42,19 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got.subsetOf(batch) || (got -- batch).isEmpty, s"extra pairs: ${(got -- batch).take(5)}")
     val recall = got.intersect(batch).size.toDouble / batch.size
     assert(recall >= 0.99, s"streaming recall $recall (${got.size} vs ${batch.size})")
+
+    // the index is hash-partitioned by band-key bucket on disk, and a
+    // bucket-set filter (what every micro-batch pushes) prunes to partition
+    // directories — the plan carries it as a PartitionFilter, not a data
+    // filter over a full scan
+    import org.apache.spark.sql.functions.col
+    val bucketDirs = new java.io.File(s"$outDir/index").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(bucketDirs > 32, s"index has only $bucketDirs bucket partitions")
+    val pruned = spark.read.parquet(s"$outDir/index")
+      .where(col("bucket").isInCollection(Seq(0, 1, 2, 3)))
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(planStr).nonEmpty,
+      s"no partition filter on bucket in plan:\n${planStr.take(800)}")
   }
 }
