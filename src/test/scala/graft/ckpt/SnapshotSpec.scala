@@ -59,6 +59,46 @@ class SnapshotSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("process killed after snapshot 2: resume yields byte-identical clusters") {
+    // REAL process death (Runtime.halt(137) == kill -9: no shutdown hooks,
+    // no Spark cleanup) in a separate JVM after committing signatures+edges
+    // and half-writing an uncommitted clusters data dir
+    val root = tmp()
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val log = java.nio.file.Files.createTempFile("probe", ".log").toFile
+    val pb = new ProcessBuilder(
+      javaBin, "-cp", cp, "--add-opens=java.base/java.nio=ALL-UNNAMED",
+      "--add-opens=java.base/java.util=ALL-UNNAMED",
+      "--add-opens=java.base/java.lang=ALL-UNNAMED",
+      "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+      "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+      "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+      "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+      "-Xmx3g", "graft.tools.ResumeProbe", root)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val proc = pb.start()
+    assert(proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS), "probe timed out")
+    assert(proc.exitValue() === 137, s"probe exit ${proc.exitValue()}; log tail:\n" +
+      java.nio.file.Files.readString(log.toPath).takeRight(2000))
+
+    val store = new SnapshotStore(root, SnapshotStore.hashConfig(Dedup.defaultConfig))
+    assert(store.isCommitted("signatures") && store.isCommitted("edges"))
+    assert(!store.isCommitted("clusters"), "clusters must be uncommitted after the kill")
+    val edgesManifest = store.manifestJson("edges").get
+
+    // resume in THIS session: reuses the dead process's snapshots untouched,
+    // recomputes (and overwrites) the half-written clusters stage
+    val resumed = ResumablePipeline.run(spark, corpus, root)
+    assert(store.manifestJson("edges").get === edgesManifest, "edges recomputed on resume")
+    assert(store.isCommitted("clusters"))
+    val fresh = ResumablePipeline.run(spark, corpus, tmp())
+    val a = resumed.orderBy("image_id").collect().map(r => (r.getString(0), r.getString(1)))
+    val b = fresh.orderBy("image_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(a.toSeq === b.toSeq, "resumed clusters differ from uninterrupted run")
+  }
+
   test("config change invalidates snapshots (no cross-config reuse)") {
     val root = tmp()
     ResumablePipeline.run(spark, corpus, root)
