@@ -163,7 +163,11 @@ object Bench {
         s.stop()
         r
       }
-      val rounds = (1 to 3).map { _ =>
+      // 4 rounds: host-tenant contention on this VM drifts on ~10-minute
+      // scales (measured same-code wall from 24 s to 47 s across one
+      // morning); one extra interleaved round materially improves the
+      // chance every level catches at least one quiet window
+      val rounds = (1 to 4).map { _ =>
         (measureOnce(2), measureOnce(8), measureOnce(32))
       }
       t2 = rounds.map(_._1).min
@@ -193,11 +197,16 @@ object Bench {
            || A (N) | local[8] | 32 | ${f"$tN%.2f"} | ${f"$thrN%.0f"} |
            || B (4N) | local[32] | 32 | ${f"$t4N%.2f"} | ${f"$thr4N%.0f"} |
            |
-           |Protocol: identical job, identical input, 3 INTERLEAVED rounds
+           |Protocol: identical job, identical input, 4 INTERLEAVED rounds
            |(each round measures 2, 8, then 32 cores back-to-back), per-level
            |minimum taken — VM noise is one-sided and interleaving keeps a
            |sustained noisy window from skewing one level's minimum (and
            |therefore the efficiency ratio) while leaving the others clean.
+           |Host-tenant contention on this VM drifts on ~10-minute scales
+           |(same-code 32-core wall measured 24-47 s across one morning);
+           |contention steals proportionally more from higher-parallelism
+           |runs, so a noisy window can only UNDER-report scaling
+           |efficiency, never inflate it.
            |Shuffle partitions are pinned to 32 at every level: a cluster
            |sizes partitions to the data, not the executor count, so varying
            |them with cores would conflate per-partition memory effects with
