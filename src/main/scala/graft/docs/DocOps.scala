@@ -52,7 +52,6 @@ object DocOps {
     * hot grams is sacrificed (documented; default keeps exactness). */
   def ngramDupPairsExact(docs: DataFrame, n: Int = 3, tau: Double = 0.6,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val gramSets = docs.select(col("doc_id"), gf.token_ngrams(col("text"), n).as("gs"))
       .where(size(col("gs")) > 0)
     val grams0 = gramSets.select(col("doc_id"), explode(col("gs")).as("g"))
@@ -63,12 +62,25 @@ object DocOps {
         grams0.join(dfCap.select("g"), "g")
       }
     val dfc = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy("doc_id")
+    // single-pass prefix selection: one hash aggregation per doc collects the
+    // (df, g) pairs, an in-row array_sort orders them (struct order = df asc,
+    // g asc — identical to the former row_number window order), and slice
+    // keeps the first |d| − ⌈τ·|d|⌉ + 1. Replaces TWO window functions
+    // (row_number + count) over the same per-doc sort with one agg pass.
     val pref = grams.join(dfc, "g")
-      .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("g"))))
-      .withColumn("nsh", count(lit(1)).over(byDoc))
-      .where(col("rn") <= col("nsh") - ceil((lit(tau) - 1e-9) * col("nsh")) + 1)
-      .select(col("doc_id"), col("g"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ordered"))
+      .select(col("doc_id"),
+        explode(slice(col("ordered"), lit(1),
+          (size(col("ordered")) - ceil((lit(tau) - 1e-9) * size(col("ordered"))) + 1)
+            .cast("int"))).as("o"))
+      .select(col("doc_id"), col("o.g").as("g"))
+      // materialize ONCE: both self-join sides consume the checkpointed
+      // index — without this Catalyst specializes each consumer's exchange
+      // so the df-groupBy + prefix subplan is computed twice (ReuseExchange
+      // never fires across the pruned copies; same lesson as
+      // Dedup.dupPairsMinhash)
+      .localCheckpoint()
     val cand = pref.toDF("id_a", "g")
       .join(pref.toDF("id_b", "g"), "g")
       .where(col("id_a") < col("id_b"))
