@@ -490,7 +490,7 @@ object Dedup {
     * unlabeled-as-themselves at the end, so per-round work is proportional
     * to the duplicate subgraph, not the corpus. */
   def clusters(edges: DataFrame, vertices: DataFrame, maxIter: Int = 20,
-      localThreshold: Long = 20000000L): DataFrame = {
+      localThreshold: Long = clustersLocalThreshold()): DataFrame = {
     val e = edges.select(idNum(col("id_a")).as("src"), idNum(col("id_b")).as("dst"))
       .localCheckpoint()
     // the dup subgraph is usually tiny relative to the corpus: size the
@@ -528,6 +528,18 @@ object Dedup {
       .select(col("vid"), coalesce(col("label"), col("vid")).as("label"))
     all.select(idStr(col("vid")).as("image_id"), idStr(col("label")).as("cluster_id"))
   }
+
+  /** Driver-memory-scaled cap for the [[clustersLocal]] fast path, instead
+    * of a fixed constant: the collected edge list costs ~96 B/edge on-heap
+    * (specialized (Long,Long) tuples ≈ 40 B + the sorted vid / parent /
+    * label arrays ≈ 28 B + copy headroom), so admit edge sets whose working
+    * set stays under 1/8 of `maxHeapBytes`, floored at the field-proven 20M
+    * (320 MB — safe even on small driver heaps, where the flat arrays
+    * dominate transient collect buffers). A 24 GB driver admits ~31M edges;
+    * a 64 GB driver ~83M; past that the distributed label-propagation loop
+    * takes over. */
+  def clustersLocalThreshold(maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
+    math.max(20000000L, maxHeapBytes / 8 / 96)
 
   /** Hybrid fast path: when the duplicate subgraph fits on the driver (edge
     * lists are 16 bytes/edge; 20M edges ≈ 320 MB), collect ONLY the edges,

@@ -95,6 +95,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotDist === expect)
   }
 
+  test("clustersLocalThreshold: floored at 20M edges, scales with driver heap") {
+    // small heaps keep the field-proven floor
+    assert(Dedup.clustersLocalThreshold(1L << 30) === 20000000L)
+    assert(Dedup.clustersLocalThreshold(8L << 30) === 20000000L)
+    // big heaps admit proportionally more (1/8 heap at ~96 B/edge)
+    val at64g = Dedup.clustersLocalThreshold(64L << 30)
+    assert(at64g === (64L << 30) / 8 / 96)
+    assert(at64g > 20000000L)
+    assert(Dedup.clustersLocalThreshold(256L << 30) === (256L << 30) / 8 / 96)
+    // default reads the live heap and is always at least the floor
+    assert(Dedup.clustersLocalThreshold() >= 20000000L)
+  }
+
   test("spark aggregate merge laws: sig_merge / minhash_merge / hll union") {
     import spark.implicits._
     val docs = (0 until 64).map(i => (i % 4, s"grp${i % 4} token$i payload $i content")).toDF("g", "text")
