@@ -35,6 +35,12 @@ object StreamingDedup {
     * enough that a full-coverage batch still reads 256 files, not 10^5. */
   val IndexBuckets = 256
 
+  /** per-band-value salt fan-out of the confirm joins: the index side is
+    * split into this many sub-keys (salt = pmod(id)), the micro-batch side
+    * replicated to all of them, so one hot band value occupies SaltChunks
+    * tasks instead of one. */
+  val SaltChunks = 8
+
   /** run the incremental pipeline over a parquet-backed stream.
     * Returns the started query; results accumulate under `outDir/dup_pairs`,
     * the LSH index under `outDir/index` (hash-partitioned by band-key
@@ -79,10 +85,24 @@ object StreamingDedup {
 
         // pair order must be normalized with least/greatest: a NEW row's id
         // can be on either side of an OLD row's id, so `id_a < id_b` on the
-        // raw join would drop most cross-batch pairs
+        // raw join would drop most cross-batch pairs.
+        //
+        // SALTED (parity with the batch channel's salt-and-replicate): the
+        // right side — the populated index, or the batch itself in the
+        // new-vs-new self-join — carries salt = pmod(id, SaltChunks) as an
+        // extra join key; the LEFT side (always the micro-batch, bounded by
+        // maxFilesPerTrigger) is replicated to every salt. A giant duplicate
+        // cluster sharing one band value then fans across SaltChunks tasks
+        // instead of serializing one, at the bounded cost of SaltChunks×
+        // the small batch side. Each pair still collides exactly once per
+        // band value (at the right row's own salt), so the pair set is
+        // unchanged (StreamingDedupSpec planted-hot-cluster case).
         def confirmPairs(a: DataFrame, b: DataFrame): DataFrame =
           a.toDF("bv", "ia", "phash_a", "tok_a")
-            .join(b.toDF("bv", "ib", "phash_b", "tok_b"), "bv")
+            .withColumn("salt", explode(sequence(lit(0L), lit(SaltChunks - 1L))))
+            .join(b.toDF("bv", "ib", "phash_b", "tok_b")
+              .withColumn("salt", pmod(col("ib"), lit(SaltChunks.toLong))),
+              Seq("bv", "salt"))
             .where(col("ia") =!= col("ib") &&
               bit_count(col("phash_a").bitwiseXOR(col("phash_b"))) <= cfg.hammingThreshold)
             .where(gf.exact_jaccard(col("tok_a"), col("tok_b")) >= cfg.tokenJaccard)

@@ -57,4 +57,44 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(planStr).nonEmpty,
       s"no partition filter on bucket in plan:\n${planStr.take(800)}")
   }
+
+  test("planted hot cluster: salted confirm join keeps the exact pair set") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // one giant duplicate cluster (identical caption + phash ⇒ every band
+    // value collides for every member) spread across micro-batches, so each
+    // batch's members confirm against an already-populated hot index bucket
+    // — the case the salt fan-out exists for. Correctness bar: the streamed
+    // pair set must still be EXACTLY the batch channel's pair set, and must
+    // contain all C(n,2) planted pairs.
+    val hotN = 120
+    val cap = (0 until 12).map(i => SyntheticImages.vocab(i * 7)).mkString(" ")
+    val hot = (0 until hotN).map { i =>
+      SyntheticImages.Row(f"img_${5000000L + i}%010d", Array.empty[Byte], 32, 32,
+        "png", cap, 0x0F0F0F0F12345678L, 999999L)
+    }
+    val bg = (0L until 50L).flatMap(fid => SyntheticImages.family(fid, 7L, fid * 8))
+    val corpus = spark.createDataset(hot ++ bg).toDF()
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-hot-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("stream-hot-out").toString
+    corpus.repartition(8).write.mode("overwrite").parquet(srcDir)
+
+    val q = StreamingDedup.start(spark, srcDir, outDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(s"$outDir/dup_pairs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = Dedup.confirm(Dedup.candidatesMinhash(Dedup.signatures(corpus)), corpus)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val hotIds = hot.map(_.image_id).sorted
+    val planted = (for {
+      i <- hotIds.indices; j <- (i + 1) until hotIds.length
+    } yield (hotIds(i), hotIds(j))).toSet
+    assert(planted.subsetOf(got), s"missing planted pairs: ${(planted -- got).take(5)}")
+    assert(got.subsetOf(batch), s"extra pairs: ${(got -- batch).take(5)}")
+    val recall = got.intersect(batch).size.toDouble / batch.size
+    assert(recall >= 0.99, s"streaming recall $recall (${got.size} vs ${batch.size})")
+  }
 }
