@@ -292,12 +292,50 @@ object SyntheticImages {
       case "sf0.1"   => 2000000 // sized so the local[8] e2e run takes >= 60 s
                                 // (BASELINE.md protocol; re-sized after the
                                 // run-walk/marker pipeline got ~1.5× faster)
+      case "sf0.3"   => 6000000  // full-bytes mid-scale: decode-stage proof
+      case "sf1"     => 20000000 // 10× scale proof (lite corpus, see ensureLite)
       case _         => 12000
     }
   }
 
   def corpusPath(sfDir: String): String =
     s"/root/repo/gendata/images_${new java.io.File(sfDir).getName}.parquet"
+
+  def litePath(sfDir: String): String =
+    s"/root/repo/gendata/images_${new java.io.File(sfDir).getName}_lite.parquet"
+
+  /** the corpus minus the `bytes` payload column, for scale factors whose
+    * encoded bytes exceed the sandbox disk (sf1 ≈ 87 GB encoded vs 71 GB
+    * free). Replays the IDENTICAL RNG stream as [[family]] — `encode` is the
+    * only skipped step and it draws nothing — so image_id/fmt/caption/phash
+    * match the full corpus bit-for-bit (asserted in SyntheticImagesSpec).
+    * Faithful for the dedup pipeline scale proof: the sketch→cluster job
+    * never reads `bytes` (columnar scan prunes it, asserted in
+    * PipelineSpec), so the measured work is identical either way. */
+  case class RowLite(
+      image_id: String, w: Int, h: Int, fmt: String,
+      caption: String, phash: Long, truth_cluster: Long)
+
+  def familyLite(famId: Long, seed: Long, globalIndexBase: Long): Seq[RowLite] =
+    familyTruth(famId, seed, globalIndexBase).map { t =>
+      RowLite(t.image_id, Size, Size, t.fmt, t.caption, t.phash, famId)
+    }
+
+  /** Generate (if absent) and return the bytes-free corpus. More write
+    * partitions than [[ensure]] (generation is CPU-bound pixel/DCT work;
+    * 256 tasks keep 32 cores busy without skewing the last wave). */
+  def ensureLite(spark: SparkSession, sfDir: String, seed: Long = 42L): DataFrame = {
+    val path = litePath(sfDir)
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      import spark.implicits._
+      val nFam = familiesFor(sfDir)
+      spark.range(0, nFam.toLong, 1, math.min(256, math.max(1, nFam / 256)))
+        .flatMap(fid => familyLite(fid, seed, fid * 8))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
 
   /** Generate (if absent) and return the corpus as a DataFrame. Max family
     * size is 5 ⇒ id-space stride 8 keeps global ids unique and sorted. */
