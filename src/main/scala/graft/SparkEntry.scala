@@ -32,6 +32,11 @@ object SparkEntry {
   private def corpus(spark: SparkSession, sfDir: String): DataFrame =
     SyntheticImages.ensure(tuned(spark), sfDir)
 
+  /** fixed query-side id budget for the exact O(N²) ANN baselines: a no-op
+    * at the sf0.01 correctness gate (500 vectors), a constant-size probe at
+    * any larger scale — cost O(budget · N), never O(N²). */
+  private val ExactQueryBudget = 500
+
   /** oracle path of the materialized corpus for a given sf dir. */
   private def corpusGlob(sf: String): String =
     s"read_parquet('/root/repo/gendata/images_$sf.parquet/*.parquet')"
@@ -193,12 +198,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // end-to-end OMH strand/rotation comparison (reference
+    // `OrderMinHash.cpp:422-458`): per derived 64-mer ACGT sequence, compare
+    // the sequence against (a) its own reverse complement with rc-aware
+    // scoring — a reverse-strand duplicate, expect 1.0; (b) a rotation under
+    // the circular variant — expect 1.0; (c) the same rotation under plain
+    // linear scoring — strictly lower (block positions shift). Estimator
+    // outputs → rows-only driver check; the exact expectations are gated in
+    // DnaParitySpec/FunctionsWiringSpec.
+    "dna_omh_pairs" -> ((s, dir) => {
+      val rot = 8
+      val dna = docs(s, dir).select(col("doc_id"),
+        translate(upper(concat(md5(col("text")), md5(concat(col("text"), lit("x"))))),
+          "0123456789ABCDEF", "ACGTACGTACGTACGT").as("seq"))
+      val variants = dna.select(col("doc_id"), col("seq"),
+        gf.dna_revcomp(col("seq")).as("rcseq"),
+        concat(substring(col("seq"), rot + 1, 64 - rot),
+          substring(col("seq"), 1, rot)).as("rotseq"))
+      val sk = variants.select(col("doc_id"),
+        gf.omh_sketch(col("seq")).as("fwd"),
+        gf.omh_sketch_rc(col("seq")).as("rc"),
+        gf.omh_sketch(col("rcseq")).as("fwd_of_rc"),
+        gf.omh_sketch(col("rotseq")).as("fwd_of_rot"))
+      sk.select(col("doc_id"),
+          gf.omh_compare(col("fwd"), col("rc"), col("fwd_of_rc")).as("sim_rc_dup"),
+          gf.omh_compare(col("fwd"), col("rc"), col("fwd_of_rot"), circular = true)
+            .as("sim_rot_circular"),
+          gf.omh_compare(col("fwd"), col("rc"), col("fwd_of_rot")).as("sim_rot_linear"))
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding similarity search ----
+    // exact brute force is the small-sf correctness oracle ONLY: the query
+    // side is capped to a FIXED id budget (vec_id < 500 — a no-op at sf0.01
+    // where all 500 vectors are queries, a constant-size probe at any larger
+    // scale), so the contract surface carries no unbounded O(N²) plan. The
+    // oracle SQL mirrors the cap. Scale paths: embed_knn_ivf / embed_knn_lsh.
     "embed_knn" -> ((s, dir) =>
-      Ann.cosineTopK(embeds(s, dir), 10).orderBy("query_id", "rank")),
+      Ann.cosineTopK(embeds(s, dir), 10, queryFilter = col("vec_id") < ExactQueryBudget)
+        .orderBy("query_id", "rank")),
 
     "embed_dup_pairs" -> ((s, dir) =>
-      Ann.cosineDupPairs(embeds(s, dir), 0.4).orderBy("id_a", "id_b")),
+      Ann.cosineDupPairs(embeds(s, dir), 0.4, queryFilter = col("vec_id") < ExactQueryBudget)
+        .orderBy("id_a", "id_b")),
 
     "embed_knn_lsh" -> ((s, dir) =>
       Ann.hyperplaneLshTopK(embeds(s, dir), 10).orderBy("query_id", "rank")),
@@ -209,6 +251,14 @@ object SparkEntry {
     // above stays the small-sf correctness oracle only.
     "embed_knn_ivf" -> ((s, dir) =>
       Ann.ivfTopK(embeds(s, dir), 10).orderBy("query_id", "rank")),
+
+    // IVF code path, oracle-gated: nprobe = centroids degenerates to exact
+    // brute force (every query scores every list — proven in AnnSpec), so
+    // the SAME DuckDB SQL as embed_knn gates the IVF assignment/probe/
+    // re-score machinery rows+schema+hash
+    "embed_knn_ivf_exactcfg" -> ((s, dir) =>
+      Ann.ivfTopK(embeds(s, dir), 10, centroids = 16, nprobe = 16,
+        queryFilter = col("vec_id") < ExactQueryBudget).orderBy("query_id", "rank")),
 
     // ---- event-time analytics (events table) ----
     "events_windowed" -> ((s, dir) =>
@@ -488,29 +538,34 @@ object SparkEntry {
         s"""WITH pr AS ($docNgramPairsSql),
            |sk AS (SELECT doc_id,
            |         list_sort(list_distinct(list_transform(range(1, length(text) - 6),
-           |           i -> ${h63("substr(text, i::INT, 8)")})))[1:128] AS bk
+           |           i -> ${h63("substr(text, i::INT, 8)")}))) AS hf
            |       FROM $docsT WHERE length(text) >= 8),
-           |j AS (SELECT pr.id_a, pr.id_b, a.bk AS bka, b.bk AS bkb,
-           |        list_sort(list_distinct(a.bk || b.bk))[1:128] AS x
+           |j AS (SELECT pr.id_a, pr.id_b, a.hf AS hfa, b.hf AS hfb,
+           |        a.hf[1:128] AS bka, b.hf[1:128] AS bkb,
+           |        list_sort(list_distinct(a.hf[1:128] || b.hf[1:128]))[1:128] AS x
            |      FROM pr JOIN sk a ON a.doc_id = pr.id_a
            |              JOIN sk b ON b.doc_id = pr.id_b),
            |e AS (SELECT id_a, id_b,
            |        len(list_intersect(list_intersect(x, bka), bkb)) AS common,
            |        len(x) AS nx, len(bka) AS na, len(bkb) AS nb,
-           |        bka[len(bka)] AS topa, bkb[len(bkb)] AS topb
+           |        bka[len(bka)] AS topa, bkb[len(bkb)] AS topb,
+           |        len(hfa)::BIGINT AS n_distinct_a, len(hfb)::BIGINT AS n_distinct_b,
+           |        len(list_intersect(hfa, hfb))::BIGINT AS n_inter
            |      FROM j),
            |f AS (SELECT id_a, id_b,
            |        CASE WHEN nx = 0 THEN 0.0 ELSE common / nx END AS bk_jaccard,
            |        CASE WHEN least(na, nb) = 0 THEN 0.0
            |             ELSE common / least(least(na, nb), 128) END AS containment,
            |        na * (2::DOUBLE ** 64) / topa AS card_a,
-           |        nb * (2::DOUBLE ** 64) / topb AS card_b
+           |        nb * (2::DOUBLE ** 64) / topb AS card_b,
+           |        n_distinct_a, n_distinct_b, n_inter
            |      FROM e)
            |SELECT id_a, id_b, bk_jaccard, containment, card_a, card_b,
            |  round(CASE WHEN bk_jaccard <= 0.0 THEN 1.0
            |             WHEN bk_jaccard = 1.0 THEN 0.0
            |             ELSE least(-ln(bk_jaccard * 2.0 / (bk_jaccard + 1.0)) / 8, 1.0)
-           |        END, 6) AS mash_dist
+           |        END, 6) AS mash_dist,
+           |  n_distinct_a, n_distinct_b, n_inter
            |FROM f ORDER BY id_a, id_b""".stripMargin,
 
       "doc_stats" ->
@@ -623,17 +678,9 @@ object SparkEntry {
            |  round(avg(n_events), 6) AS avg_session_events
            |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-      "embed_knn" ->
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embT),
-           |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-           |        round(list_dot_product(q.v, e.v) /
-           |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
-           |      FROM e q JOIN e ON e.vec_id != q.vec_id),
-           |r AS (SELECT query_id, neighbor_id, sim,
-           |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-           |      FROM s)
-           |SELECT query_id, neighbor_id, rank::INT AS rank, sim FROM r
-           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "embed_knn" -> embedKnnSql,
+
+      "embed_knn_ivf_exactcfg" -> embedKnnSql,
 
       "embed_dup_pairs" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embT)
@@ -641,7 +688,8 @@ object SparkEntry {
            |  round(list_dot_product(a.v, b.v) /
            |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
            |FROM e a JOIN e b ON a.vec_id < b.vec_id
-           |WHERE round(list_dot_product(a.v, b.v) /
+           |WHERE a.vec_id < 500
+           |  AND round(list_dot_product(a.v, b.v) /
            |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
            |ORDER BY id_a, id_b""".stripMargin,
 
@@ -656,6 +704,22 @@ object SparkEntry {
            |FROM $t ORDER BY image_id""".stripMargin
     )
   }
+
+  /** exact-knn oracle SQL (query side capped to the same fixed budget as
+    * the Spark query — a no-op at sf0.01's 500 vectors); also gates the
+    * nprobe=centroids IVF degeneracy twin. */
+  private def embedKnnSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embT),
+       |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |        round(list_dot_product(q.v, e.v) /
+       |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+       |      FROM e q JOIN e ON e.vec_id != q.vec_id
+       |      WHERE q.vec_id < 500),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, rank::INT AS rank, sim FROM r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def docsT = "read_parquet('/root/testdata/sf0.01/documents.parquet')"
   private def embT = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"

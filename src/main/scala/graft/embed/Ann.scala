@@ -58,11 +58,16 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
-  /** all pairs with cosine ≥ tau (exact; brute force over the broadcast
-    * smaller side — at scale swap in the LSH candidate channel). */
-  def cosineDupPairs(emb: DataFrame, tau: Double): DataFrame = {
+  /** all pairs with cosine ≥ tau among the `queryFilter`-selected left side
+    * (exact; brute force against the broadcast full table — a bounded
+    * correctness probe, not the at-scale dup channel: the registered driver
+    * query caps the left side to a fixed id budget so the contract surface
+    * carries no unbounded O(N²) plan; the full dup-pair path at scale is the
+    * LSH/IVF candidate channels). */
+  def cosineDupPairs(emb: DataFrame, tau: Double, queryFilter: Column = lit(true)): DataFrame = {
     val base = withNorm(emb)
-    base.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na"))
+    base.where(queryFilter)
+      .select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na"))
       .crossJoin(broadcast(base.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -283,10 +283,15 @@ object Md5Channels {
   def docSketchEstimatesMd5(docs: DataFrame, pairs: DataFrame,
       shingleK: Int = 8, s: Int = 128): DataFrame = {
     val hs = hashes63(charShingleStrings(col("text"), shingleK))
+    // hf = the FULL sorted distinct shingle-hash set; bk = its bottom-s
+    // prefix. Carrying hf per pair lets the same oracle row expose the exact
+    // per-pair set cardinalities (n_distinct_a/b, n_inter) beside the
+    // bottom-k estimator columns — the cross-engine exact companions the
+    // estimator specs (HLL joint-MLE, bottom-k jaccard) are gated against.
     val sk = docs
       .where(length(col("text")) >= shingleK)
-      .select(col("doc_id"),
-        slice(array_sort(array_distinct(hs)), 1, s).as("bk"))
+      .select(col("doc_id"), array_sort(array_distinct(hs)).as("hf"))
+      .select(col("doc_id"), col("hf"), slice(col("hf"), 1, s).as("bk"))
     val two64 = math.pow(2.0, 64)
     def card(bk: Column): Column = {
       val top = element_at(bk, size(bk)).cast("double")
@@ -295,8 +300,11 @@ object Md5Channels {
         .otherwise(size(bk).cast("double") * lit(two64) / top)
     }
     val joined = pairs
-      .join(sk.toDF("id_a", "bk_a"), "id_a")
-      .join(sk.toDF("id_b", "bk_b"), "id_b")
+      .join(sk.toDF("id_a", "hf_a", "bk_a"), "id_a")
+      .join(sk.toDF("id_b", "hf_b", "bk_b"), "id_b")
+      .withColumn("n_distinct_a", size(col("hf_a")).cast("long"))
+      .withColumn("n_distinct_b", size(col("hf_b")).cast("long"))
+      .withColumn("n_inter", size(array_intersect(col("hf_a"), col("hf_b"))).cast("long"))
       .withColumn("x", slice(array_sort(array_union(col("bk_a"), col("bk_b"))), 1, s))
       .withColumn("common",
         size(array_intersect(array_intersect(col("x"), col("bk_a")), col("bk_b"))))
@@ -316,6 +324,7 @@ object Md5Channels {
           .otherwise(least(
             -log(col("bk_jaccard") * 2.0 / (col("bk_jaccard") + 1.0)) / shingleK,
             lit(1.0))), 6))
-      .select("id_a", "id_b", "bk_jaccard", "containment", "card_a", "card_b", "mash_dist")
+      .select("id_a", "id_b", "bk_jaccard", "containment", "card_a", "card_b",
+        "mash_dist", "n_distinct_a", "n_distinct_b", "n_inter")
   }
 }

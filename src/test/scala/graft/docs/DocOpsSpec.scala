@@ -119,4 +119,44 @@ class DocOpsSpec extends AnyFunSuite {
         r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens")
     })
   }
+
+  test("hll joint-MLE gated against the oracle-exact per-pair set counts") {
+    // the estimator-suite driver query is rows-only (estimates), so its HLL
+    // columns are gated HERE against the md5 channel's exact companions
+    // (n_distinct_a/b, n_inter — themselves rows+schema+hash oracle-gated):
+    // per candidate pair, Ertl joint-MLE jaccard and intersection over HLL
+    // sketches of the SAME char-8 shingle sets must track the exact values.
+    import graft.sketch.Hll
+    import graft.hash.HashKernels
+    val pairs = DocOps.ngramDupPairsExact(docs, 3, 0.4)
+    val est = graft.oracle.Md5Channels.docSketchEstimatesMd5(docs, pairs).collect()
+    assert(est.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val np = 12
+    def sketch(text: String): Array[Byte] = {
+      val regs = Hll.init(np)
+      text.sliding(8).toSet[String].foreach { sh =>
+        Hll.add(regs, HashKernels.murmur3_low64(sh, 42), np)
+      }
+      regs
+    }
+    var absErr = 0.0
+    est.foreach { r =>
+      val na = r.getAs[Long]("n_distinct_a").toDouble
+      val nb = r.getAs[Long]("n_distinct_b").toDouble
+      val ni = r.getAs[Long]("n_inter").toDouble
+      val exactJ = ni / (na + nb - ni)
+      val ha = sketch(texts(r.getAs[Long]("id_a")))
+      val hb = sketch(texts(r.getAs[Long]("id_b")))
+      val mleJ = Hll.jaccardMle(ha, hb, np)
+      assert(math.abs(mleJ - exactJ) <= 0.08,
+        s"pair ${r.getLong(0)},${r.getLong(1)}: mleJ=$mleJ exactJ=$exactJ")
+      val (_, _, interEst) = Hll.jointMle(ha, hb, np)
+      assert(math.abs(interEst - ni) <= math.max(8.0, 0.15 * ni),
+        s"pair ${r.getLong(0)},${r.getLong(1)}: interEst=$interEst exact=$ni")
+      absErr += math.abs(mleJ - exactJ)
+    }
+    assert(absErr / est.length <= 0.03, s"mean |mleJ-exactJ| = ${absErr / est.length}")
+  }
 }
