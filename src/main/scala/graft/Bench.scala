@@ -33,7 +33,7 @@ object Bench {
     * partitions to the data, not the executor count, so varying it with the
     * cores would conflate per-partition memory effects (a 2-core session
     * with 2 partitions sorts 68M-row partitions) with parallelism itself. */
-  private def session(cpus: Int, partitions: Int = -1): SparkSession = {
+  private[graft] def session(cpus: Int, partitions: Int = -1): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     SparkSession.builder()
@@ -55,8 +55,13 @@ object Bench {
     * exact confirm → label-propagation clustering → per-partition HLL
     * lineage metrics. This is the north_star pipeline (the pHash block
     * channel is the oracle path, benchmarked separately as `dup_pairs`). */
-  private def pipelineE2E(spark: SparkSession, sfDir: String): Long = {
-    val corpus = SyntheticImages.ensure(spark, sfDir)
+  private def pipelineE2E(spark: SparkSession, sfDir: String): Long =
+    pipelineE2E(spark, SyntheticImages.ensure(spark, sfDir))
+
+  /** corpus-parameterized variant: graft.tools.ScaleBench runs the IDENTICAL
+    * job over the bytes-free lite corpora (sf1 does not fit on disk with
+    * encoded bytes; the job never reads them — see SyntheticImages.ensureLite). */
+  private[graft] def pipelineE2E(spark: SparkSession, corpus: org.apache.spark.sql.DataFrame): Long = {
     // signatures = snapshot #1 of the lifecycle (SURVEY §3). Persisting it
     // measured ~2× faster end-to-end than recomputing inline (A/B'd at
     // local[2] and local[8]) even though the frame has a single downstream

@@ -100,13 +100,19 @@ object Ann {
       lloydIters: Int = 2, queryFilter: Column = lit(true)): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // row norms computed ONCE: every cosine below is vec_dot/(norm·cnorm)
+    // through the codegen'd kernel — the N×centroids assignment sweep is the
+    // dominant cost and must not pay the interpreted zip_with/aggregate path
     val base = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(gf.vec_dot(col("v"), col("v"))))
     val n = base.count()
     val stride = math.max(1L, n / centroids)
-    var cent = base.where(pmod(col("vec_id"), lit(stride)) === 0)
+    def withCnorm(c: DataFrame): DataFrame =
+      c.withColumn("cnorm", sqrt(gf.vec_dot(col("cvec"), col("cvec"))))
+    var cent = withCnorm(base.where(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(centroids)
       .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
-        .as("cid"), col("v").as("cvec"))
+        .as("cid"), col("v").as("cvec")))
       .localCheckpoint()
 
     // nearest-centroid assignment via max_by aggregation — a partial+final
@@ -115,7 +121,8 @@ object Ann {
     // toward the smaller cid via the (sim, -cid) struct order
     def assign(c: DataFrame): DataFrame = {
       base.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cvec")).as("sim"))
+        .select(col("vec_id"), col("v"), col("cid"),
+          (gf.vec_dot(col("v"), col("cvec")) / (col("norm") * col("cnorm"))).as("sim"))
         .groupBy("vec_id")
         .agg(first(col("v")).as("v"),
           max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
@@ -129,18 +136,20 @@ object Ann {
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("cvec"))
-      cent = means.localCheckpoint()
+      cent = withCnorm(means).localCheckpoint()
       it += 1
     }
 
     val assigned = assign(cent).localCheckpoint()
     val queries = assigned.where(queryFilter)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        sqrt(gf.vec_dot(col("v"), col("v"))).as("qnorm"))
     // top-nprobe lists per query without a window sort: collect the
     // (centroids)-element list per query and slice the sorted prefix —
     // struct(-csim, cid) ascending == csim desc with cid tiebreak
     val qProbes = queries.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("cid"), cosine(col("qv"), col("cvec")).as("csim"))
+      .select(col("query_id"), col("qv"), col("cid"),
+        (gf.vec_dot(col("qv"), col("cvec")) / (col("qnorm") * col("cnorm"))).as("csim"))
     val probes = qProbes.groupBy("query_id")
       .agg(first(col("qv")).as("qv"),
         slice(array_sort(collect_list(struct((-col("csim")).as("nsim"), col("cid")))),

@@ -87,17 +87,17 @@ object Dedup {
     * pair; a `collect_list` aggregation built buffers for tens of millions
     * of singleton buckets it then threw away).
     *
-    * Pathological buckets (a giant duplicate cluster sharing a band/block
-    * value, > `hotThreshold` members) would serialize one task on an O(n²)
-    * walk, so the walk skips them and they take the classic
-    * salt-and-replicate self-join instead: left side salted into
-    * `saltChunks` sub-keys, right side replicated to every salt, fanning
-    * the bucket across `saltChunks` tasks. Bucket sizes and the hot subset
-    * are computed FROM THE SAME repartitioned exchange (the bv hash
-    * partitioning satisfies the groupBy distribution, so Spark plans no
-    * second wide shuffle). Both branches emit exactly the Hamming-filtered
-    * per-bucket cross product — correctness unchanged, verified by
-    * SaltingSpec and the DuckDB oracle gate. */
+    * Pathological buckets (> `hotThreshold` members — popular band values
+    * whose size grows ∝ corpus size) would serialize one task on an O(n²)
+    * walk, so the walk skips them and they take a pigeonhole REFINEMENT
+    * pass: members re-keyed by (bv, interleaved-phash-class key) and walked
+    * again, collapsing false collisions to ~output-size work; only genuine
+    * mega-duplicate clusters (a phash class shared verbatim past the
+    * threshold, output inherently O(n²) pairs) fall through to a terminal
+    * salt-and-replicate self-join fanned across `saltChunks` tasks. All
+    * branches emit exactly the Hamming-filtered per-bucket cross product —
+    * correctness unchanged, verified by SaltingSpec and the DuckDB oracle
+    * gate. */
   private[pipeline] def saltedBucketPairs(keyed: DataFrame, maxHamming: Int,
       hotThreshold: Int, saltChunks: Int): DataFrame = {
     val spark = keyed.sparkSession
@@ -113,36 +113,59 @@ object Dedup {
     // subplan so ReuseExchange never fires — or checkpointed the full keyed
     // frame, whose extra GBs of block I/O erased the win in the
     // bandwidth-bound 32-core regime.)
-    val walked = keyed.select(col("bv"), col("id"), col("phash"))
-      .repartition(col("bv"))
-      .sortWithinPartitions(col("bv"))
-      .as[(Long, Long, Long)]
-      .mapPartitions(it => new BucketRunPairs(it, maxHamming, hotThreshold))
-      .toDF("id_a", "id_b")
-      .localCheckpoint()
-    val hotBvs = walked.where(col("id_a") === Long.MinValue)
-      .select(col("id_b")).distinct().as[Long].collect()
-    val small = walked.where(col("id_a") =!= Long.MinValue)
+    def runWalk(kf: DataFrame): (Array[Long], DataFrame) = {
+      val walked = kf.select(col("bv"), col("id"), col("phash"))
+        .repartition(col("bv"))
+        .sortWithinPartitions(col("bv"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(it => new BucketRunPairs(it, maxHamming, hotThreshold))
+        .toDF("id_a", "id_b")
+        .localCheckpoint()
+      val hotBvs = walked.where(col("id_a") === Long.MinValue)
+        .select(col("id_b")).distinct().as[Long].collect()
+      (hotBvs, walked.where(col("id_a") =!= Long.MinValue))
+    }
+    val (hotBvs, small) = runWalk(keyed)
     if (hotBvs.isEmpty) return small.distinct()
-    // pathological path: giant duplicate clusters sharing a band/block value
-    // would serialize one task on an O(n²) walk — salt-and-replicate
-    // self-join fans each hot bucket across `saltChunks` tasks. The keyed
-    // frame is recomputed ONCE, filtered to the hot buckets, and
-    // checkpointed (tiny: only hot-bucket members).
+    // Hot path: bucket sizes for POPULAR band values grow ∝ corpus size, so
+    // any raw per-bucket cross product is quadratic in N (measured at sf1:
+    // 249 hot buckets, 7.1M members, 142e9 raw pairs — 62× the sf0.1 walk
+    // cost for 10× the rows). Instead, refine each hot bucket by the same
+    // pigeonhole classes the in-walk sub-bucket pass uses: a pair within
+    // Hamming ≤ maxHamming agrees verbatim on ≥1 of the maxHamming+1
+    // interleaved phash bit classes, so walking the refined buckets
+    // (bv, classKey) emits every surviving pair. FALSE band collisions carry
+    // near-random phashes — refined runs are near-singletons and the
+    // quadratic term collapses to ~output size. xxhash64 collisions across
+    // (bv, ck) merely merge buckets (extra Hamming checks, never lost
+    // pairs). The keyed frame is recomputed ONCE, filtered to the hot
+    // buckets, and checkpointed (tiny: only hot-bucket members).
     val hotKeyed = keyed.where(col("bv").isInCollection(hotBvs)).localCheckpoint()
-    val hotLeft = hotKeyed
+    val refined = hotKeyed
+      .select(col("bv").as("obv"), col("id"), col("phash"),
+        explode(gf.phash_block_keys(col("phash"), maxHamming + 1)).as("ck"))
+      .select(xxhash64(col("obv"), col("ck")).as("bv"), col("id"), col("phash"))
+    val (denseBvs, small2) = runWalk(refined)
+    if (denseBvs.isEmpty) return small.union(small2).distinct()
+    // Terminal path: a refined bucket only stays hot when >hotThreshold
+    // members share a phash class verbatim — a genuine mega-duplicate
+    // cluster, whose OUTPUT is inherently O(n²) pairs. Salt-and-replicate
+    // fans each such cluster across `saltChunks` tasks; the work is
+    // output-bound, not an avoidable cross product.
+    val dense = refined.where(col("bv").isInCollection(denseBvs)).localCheckpoint()
+    val denseLeft = dense
       .select(col("bv"), col("id").as("id_a"), col("phash").as("phash_a"),
         pmod(col("id"), lit(saltChunks.toLong)).as("salt"))
-    val hotRight = hotKeyed
+    val denseRight = dense
       .select(col("bv"), col("id").as("id_b"), col("phash").as("phash_b"),
         explode(sequence(lit(0L), lit(saltChunks.toLong - 1))).as("salt"))
-    // the hot self-join sides are the same order of magnitude — force a
+    // the dense self-join sides are the same order of magnitude — force a
     // shuffled hash join so Catalyst never tries to broadcast-build them
-    val hotPairs = hotLeft.hint("shuffle_hash").join(hotRight, Seq("bv", "salt"))
+    val densePairs = denseLeft.hint("shuffle_hash").join(denseRight, Seq("bv", "salt"))
       .where(col("id_a") < col("id_b") &&
         bit_count(col("phash_a").bitwiseXOR(col("phash_b"))) <= maxHamming)
       .select("id_a", "id_b")
-    small.union(hotPairs).distinct()
+    small.union(small2).union(densePairs).distinct()
   }
 
   /** Streaming walk of bv-sorted rows: buffers one bucket run at a time
@@ -163,7 +186,7 @@ object Dedup {
     * are dominated by FALSE band collisions with near-random phashes, where
     * class groups are near-singletons: measured 3.59B raw in-bucket pairs at
     * the 4.25M-row corpus collapse to ~collision count work. */
-  private[pipeline] final class BucketRunPairs(
+  private[graft] final class BucketRunPairs(
       rows: Iterator[(Long, Long, Long)], maxHamming: Int, hotThreshold: Int,
       maxBufferedPairs: Int = BucketRunPairs.MaxBufferedPairs)
       extends Iterator[(Long, Long)] {
@@ -354,7 +377,7 @@ object Dedup {
     override def next(): (Long, Long) = { val r = nextPair; advance(); r }
   }
 
-  private[pipeline] object BucketRunPairs {
+  private[graft] object BucketRunPairs {
     /** run size at which the pigeonhole sub-bucket pass beats the O(n²)
       * cursor walk (sort cost ≈ classes·n·log n vs n²/2 comparisons). */
     val SubBucketMin = 64

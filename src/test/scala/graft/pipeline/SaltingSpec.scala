@@ -41,4 +41,28 @@ class SaltingSpec extends AnyFunSuite {
     assert(unsalted === brute)
     assert(salted === brute, s"salted diff: missing=${(brute -- salted).size} extra=${(salted -- brute).size}")
   }
+
+  test("hot FALSE-collision bucket routes through the pigeonhole refinement with the exact pair set") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // one shared band value over 500 near-random phashes (the popular-band
+    // regime that grows ∝ corpus size), plus a few planted near-dup pairs
+    // inside it; hotThreshold 64 forces the refinement path while staying
+    // far from the terminal dense path (no phash class repeats 64×)
+    val g = new scala.util.Random(7)
+    val base = (0 until 500).map(i => (i.toLong, g.nextLong()))
+    val planted = (0 until 20).map { i =>
+      val (_, ph) = base(i * 7)
+      (1000L + i, ph ^ (1L << (i % 64))) // Hamming 1 from an existing member
+    }
+    val all = base ++ planted
+    val keyed = all.toDF("id", "phash").select(col("id"), col("phash"), lit(0x42L).as("bv"))
+    val got = Dedup.saltedBucketPairs(keyed, maxHamming = 3, hotThreshold = 64, saltChunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (ia, pa) <- all; (ib, pb) <- all
+      if ia < ib && java.lang.Long.bitCount(pa ^ pb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got === brute, s"refined diff: missing=${(brute -- got).size} extra=${(got -- brute).size}")
+  }
 }
