@@ -87,17 +87,19 @@ object Dedup {
     * pair; a `collect_list` aggregation built buffers for tens of millions
     * of singleton buckets it then threw away).
     *
-    * Pathological buckets (> `hotThreshold` members — popular band values
-    * whose size grows ∝ corpus size) would serialize one task on an O(n²)
-    * walk, so the walk skips them and they take a pigeonhole REFINEMENT
-    * pass: members re-keyed by (bv, interleaved-phash-class key) and walked
-    * again, collapsing false collisions to ~output-size work; only genuine
-    * mega-duplicate clusters (a phash class shared verbatim past the
-    * threshold, output inherently O(n²) pairs) fall through to a terminal
-    * salt-and-replicate self-join fanned across `saltChunks` tasks. All
-    * branches emit exactly the Hamming-filtered per-bucket cross product —
-    * correctness unchanged, verified by SaltingSpec and the DuckDB oracle
-    * gate. */
+    * Popular band values (bucket size grows ∝ corpus size) never take a raw
+    * O(n²) walk: runs past [[BucketRunPairs.SubBucketMin]] are pigeonhole
+    * sub-bucketed IN the walk, up to the `hotThreshold` buffer cap (2^20
+    * members ≈ 16 MB/task — at the 42.5M-row corpus the largest bucket is
+    * 135k members, so every bucket is handled inline). Buckets past the cap
+    * marker out to a REFINEMENT pass: members re-keyed by (bv,
+    * interleaved-phash-class key) and walked again, collapsing false
+    * collisions to ~output-size work; only genuine mega-duplicate clusters
+    * (a phash class shared verbatim past the cap, output inherently O(n²)
+    * pairs) fall through to a terminal salt-and-replicate self-join fanned
+    * across `saltChunks` tasks. All branches emit exactly the
+    * Hamming-filtered per-bucket cross product — correctness unchanged,
+    * verified by SaltingSpec and the DuckDB oracle gate. */
   private[pipeline] def saltedBucketPairs(keyed: DataFrame, maxHamming: Int,
       hotThreshold: Int, saltChunks: Int): DataFrame = {
     val spark = keyed.sparkSession
@@ -114,15 +116,23 @@ object Dedup {
     // frame, whose extra GBs of block I/O erased the win in the
     // bandwidth-bound 32-core regime.)
     def runWalk(kf: DataFrame): (Array[Long], DataFrame) = {
+      // marker count travels back on an accumulator (populated by the eager
+      // localCheckpoint): in the common no-hot-bucket case the post-walk
+      // marker scan of the full pair checkpoint is skipped entirely —
+      // measured 69 s over the 386M-pair checkpoint at the 42.5M-row corpus.
+      // Task retries can only inflate the count (the walk is deterministic),
+      // and the count is only tested against zero.
+      val markers = spark.sparkContext.longAccumulator("graft.dedup.hotMarkers")
       val walked = kf.select(col("bv"), col("id"), col("phash"))
         .repartition(col("bv"))
         .sortWithinPartitions(col("bv"))
-        .as[(Long, Long, Long)]
-        .mapPartitions(it => new BucketRunPairs(it, maxHamming, hotThreshold))
+        .as[BandedRow]
+        .mapPartitions(it => new BucketRunPairs(it, maxHamming, hotThreshold, markers = markers))
         .toDF("id_a", "id_b")
         .localCheckpoint()
-      val hotBvs = walked.where(col("id_a") === Long.MinValue)
-        .select(col("id_b")).distinct().as[Long].collect()
+      val hotBvs = if (markers.value == 0L) Array.empty[Long]
+        else walked.where(col("id_a") === Long.MinValue)
+          .select(col("id_b")).distinct().as[Long].collect()
       (hotBvs, walked.where(col("id_a") =!= Long.MinValue))
     }
     val (hotBvs, small) = runWalk(keyed)
@@ -186,14 +196,29 @@ object Dedup {
     * are dominated by FALSE band collisions with near-random phashes, where
     * class groups are near-singletons: measured 3.59B raw in-bucket pairs at
     * the 4.25M-row corpus collapse to ~collision count work. */
+  /** primitive-field rows for the walk's encoder boundaries: scala Tuple3 is
+    * UNSPECIALIZED, so a `Dataset[(Long, Long, Long)]` decode allocates a
+    * Tuple3 plus three boxed Longs per row (4 allocations × 1.36B banded
+    * rows at the 42.5M-row corpus ≈ 130 GB of nursery churn — GC pauses
+    * alone measured 134 s of a 620 s candidate stage); a case class with
+    * primitive fields decodes and serializes as one allocation per row with
+    * no boxing. */
+  private[graft] final case class BandedRow(bv: Long, id: Long, phash: Long)
+  private[graft] final case class PairRow(id_a: Long, id_b: Long)
+
   private[graft] final class BucketRunPairs(
-      rows: Iterator[(Long, Long, Long)], maxHamming: Int, hotThreshold: Int,
-      maxBufferedPairs: Int = BucketRunPairs.MaxBufferedPairs)
-      extends Iterator[(Long, Long)] {
+      rows: Iterator[BandedRow], maxHamming: Int, hotThreshold: Int,
+      maxBufferedPairs: Int = BucketRunPairs.MaxBufferedPairs,
+      markers: org.apache.spark.util.LongAccumulator = null)
+      extends Iterator[PairRow] {
     import BucketRunPairs.SubBucketMin
+    // the sub-bucket pass packs the member index into 20 bits of its sort key
+    require(hotThreshold <= (1 << 20), s"run cap $hotThreshold exceeds 2^20")
     private val cap = hotThreshold
-    private val ids = new Array[Long](cap)
-    private val phs = new Array[Long](cap)
+    // grown geometrically toward `cap` — only partitions that actually meet
+    // a large run pay its footprint (cap 2^20 = 2 × 8 MB when fully grown)
+    private var ids = new Array[Long](math.min(cap, 16384))
+    private var phs = new Array[Long](ids.length)
     // eager pair buffer for the sub-bucketed path (surviving pairs only —
     // the dense worst case is bounded by the hotThreshold member cap)
     private var bufA = new Array[Long](BucketRunPairs.InitialPairBuf)
@@ -208,7 +233,7 @@ object Dedup {
     private var heldBv = 0L
     private var heldId = 0L
     private var heldPh = 0L
-    private var nextPair: (Long, Long) = _
+    private var nextPair: PairRow = _
     advance()
 
     /** buffer the next complete run into ids/phs. Returns -1 at input end,
@@ -219,8 +244,8 @@ object Dedup {
     private def fillRun(): Int = {
       if (!hasHeld) {
         if (!rows.hasNext) return -1
-        val (bv, id, ph) = rows.next()
-        heldBv = bv; heldId = id; heldPh = ph
+        val r = rows.next()
+        heldBv = r.bv; heldId = r.id; heldPh = r.phash
       }
       val bv = heldBv
       curBv = bv
@@ -230,11 +255,18 @@ object Dedup {
       var overflow = false
       var done = false
       while (!done && rows.hasNext) {
-        val (bv2, id, ph) = rows.next()
-        if (bv2 != bv) {
-          heldBv = bv2; heldId = id; heldPh = ph; hasHeld = true; done = true
+        val r = rows.next()
+        if (r.bv != bv) {
+          heldBv = r.bv; heldId = r.id; heldPh = r.phash; hasHeld = true; done = true
         } else if (n == cap) overflow = true
-        else { ids(n) = id; phs(n) = ph; n += 1 }
+        else {
+          if (n == ids.length) {
+            val ns = math.min(cap.toLong, ids.length * 2L).toInt
+            ids = java.util.Arrays.copyOf(ids, ns)
+            phs = java.util.Arrays.copyOf(phs, ns)
+          }
+          ids(n) = r.id; phs(n) = r.phash; n += 1
+        }
       }
       if (overflow) { n = 0; markerBv = bv; 1 } else 0
     }
@@ -242,7 +274,7 @@ object Dedup {
     private def advance(): Unit = {
       while (true) {
         if (bufI < bufN) {
-          nextPair = (bufA(bufI), bufB(bufI))
+          nextPair = PairRow(bufA(bufI), bufB(bufI))
           bufI += 1
           return
         }
@@ -262,7 +294,7 @@ object Dedup {
             if (java.lang.Long.bitCount(pa ^ phs(j)) <= maxHamming) {
               val x = ids(a)
               val y = ids(j)
-              nextPair = if (x < y) (x, y) else (y, x)
+              nextPair = if (x < y) PairRow(x, y) else PairRow(y, x)
               return
             }
           }
@@ -271,16 +303,19 @@ object Dedup {
         a = 0; b = 1
         fillRun() match {
           case -1 => nextPair = null; return
-          case 1  => nextPair = (Long.MinValue, markerBv); return
+          case 1  =>
+            if (markers != null) markers.add(1)
+            nextPair = PairRow(Long.MinValue, markerBv); return
           case _  =>
-            if (n >= SubBucketMin && maxHamming + 1 <= 8 && cap <= 0xFFFF) {
+            if (n >= SubBucketMin && maxHamming + 1 <= 8) {
               val runBv = curBv
               if (!subBucketRun()) {
                 // PAIR-dense run (a true giant duplicate cluster): buffering
                 // its surviving pairs would hold O(n²) longs in one task —
                 // route it to the salted hot path, which streams the same
                 // pair set through the shuffle instead
-                nextPair = (Long.MinValue, runBv)
+                if (markers != null) markers.add(1)
+                nextPair = PairRow(Long.MinValue, runBv)
                 n = 0
                 return
               }
@@ -327,28 +362,29 @@ object Dedup {
       while (c < classes) {
         val off = c * n
         // key-packing invariant: class keys occupy ceil(64/classes) bits, so
-        // for classes >= 2 a key fits 32 bits and `key << 16 | member` is an
-        // EXACT sort key. classes == 1 (maxHamming = 0) would truncate the
-        // 64-bit key to 48 bits — lossy but SAFE (truncation only merges
-        // groups, adding Hamming re-checks; pairs are still emitted once
-        // because class 0 is the only class), and with a single class the
-        // walk is equivalent to grouping by the full phash anyway.
+        // for classes >= 2 a key fits 32 bits and `key << 20 | member` is an
+        // EXACT sort key (member index <= cap = 2^20, enforced in the ctor).
+        // classes == 1 (maxHamming = 0) would truncate the 64-bit key to 44
+        // bits — lossy but SAFE (truncation only merges groups, adding
+        // Hamming re-checks; pairs are still emitted once because class 0 is
+        // the only class), and with a single class the walk is equivalent to
+        // grouping by the full phash anyway.
         m = 0
-        while (m < n) { packed(m) = (keys(off + m) << 16) | m; m += 1 }
+        while (m < n) { packed(m) = (keys(off + m) << 20) | m; m += 1 }
         java.util.Arrays.sort(packed)
         // walk equal-key groups
         var lo = 0
         while (lo < n) {
           var hi = lo + 1
-          val key = packed(lo) >>> 16
-          while (hi < n && (packed(hi) >>> 16) == key) hi += 1
+          val key = packed(lo) >>> 20
+          while (hi < n && (packed(hi) >>> 20) == key) hi += 1
           var i1 = lo
           while (i1 < hi - 1) {
-            val ma = (packed(i1) & 0xFFFF).toInt
+            val ma = (packed(i1) & 0xFFFFF).toInt
             val pa = phs(ma)
             var i2 = i1 + 1
             while (i2 < hi) {
-              val mb = (packed(i2) & 0xFFFF).toInt
+              val mb = (packed(i2) & 0xFFFFF).toInt
               if (java.lang.Long.bitCount(pa ^ phs(mb)) <= maxHamming) {
                 // dedup: emit only at the FIRST agreeing class
                 var cc = 0
@@ -374,7 +410,7 @@ object Dedup {
     }
 
     override def hasNext: Boolean = nextPair != null
-    override def next(): (Long, Long) = { val r = nextPair; advance(); r }
+    override def next(): PairRow = { val r = nextPair; advance(); r }
   }
 
   private[graft] object BucketRunPairs {
@@ -396,7 +432,7 @@ object Dedup {
     val keyed = prepared(corpus)
       .select(col("id"), col("phash"),
         explode(gf.phash_block_keys(col("phash"), blocksFor(cfg))).as("bv"))
-    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 16384, saltChunks = 16)
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16)
   }
 
   /** SimHash pigeonhole candidates (numeric ids): interleaved block keys
@@ -416,7 +452,7 @@ object Dedup {
     val keyed = sigs
       .select(idNum(col("image_id")).as("id"), col("phash"),
         explode(gf.phash_block_keys(col("simhash"), simhashBlocks)).as("bv"))
-    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 16384, saltChunks = 16)
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16)
   }
 
   /** full simhash-channel dup-pair query (same confirm predicate). */
@@ -442,7 +478,7 @@ object Dedup {
   def candidatesFromBands(sigs: DataFrame, cfg: Config = defaultConfig): DataFrame = {
     val keyed = sigs
       .select(idNum(col("image_id")).as("id"), col("phash"), explode(col("bands")).as("bv"))
-    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 16384, saltChunks = 16)
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16)
   }
 
   /** exact confirm of (already Hamming-filtered) candidate pairs: recheck

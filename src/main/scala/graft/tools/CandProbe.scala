@@ -33,12 +33,12 @@ object CandProbe {
       .select(expr("cast(substring(image_id,5) as bigint)").as("id"), col("phash"),
         explode(col("bands")).as("bv"))
     val maxHamming = cfg.hammingThreshold
-    val hotThreshold = 16384
+    val hotThreshold = 1 << 20
     val walked = t("walk") {
       val w = keyed.select(col("bv"), col("id"), col("phash"))
         .repartition(col("bv"))
         .sortWithinPartitions(col("bv"))
-        .as[(Long, Long, Long)]
+        .as[Dedup.BandedRow]
         .mapPartitions(it => new Dedup.BucketRunPairs(it, maxHamming, hotThreshold))
         .toDF("id_a", "id_b")
         .localCheckpoint()
@@ -64,7 +64,7 @@ object CandProbe {
       val w = refined.select(col("bv"), col("id"), col("phash"))
         .repartition(col("bv"))
         .sortWithinPartitions(col("bv"))
-        .as[(Long, Long, Long)]
+        .as[Dedup.BandedRow]
         .mapPartitions(it => new Dedup.BucketRunPairs(it, maxHamming, hotThreshold))
         .toDF("id_a", "id_b")
         .localCheckpoint()

@@ -22,7 +22,7 @@ object HotStats {
     // members exceed the 16384 cap; pair-dense runs (surviving pairs > the
     // 8M buffer) also marker out — raw crossPairs > 8M is the computable
     // upper-bound proxy for that here
-    val hotThreshold = sys.env.getOrElse("SPARK_GRAFT_HOT_THRESHOLD", "16384").toLong
+    val hotThreshold = sys.env.getOrElse("SPARK_GRAFT_HOT_THRESHOLD", "1048576").toLong
     val pairCap = (8L << 20)
     def stats(name: String, keyed: org.apache.spark.sql.DataFrame): Unit = {
       val sizes = keyed.groupBy("bv").agg(count(lit(1)).as("n")).localCheckpoint()

@@ -8,6 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * (skipped) runs. */
 class BucketRunPairsSpec extends AnyFunSuite {
 
+  /** tuple-friendly wrapper: the walk consumes/emits primitive-field case
+    * classes (encoder efficiency); tests speak tuples. */
+  private def walk(rows: Seq[(Long, Long, Long)], maxHamming: Int, cap: Int,
+      maxBufferedPairs: Int = Dedup.BucketRunPairs.MaxBufferedPairs): Iterator[(Long, Long)] =
+    new Dedup.BucketRunPairs(rows.iterator.map(r => Dedup.BandedRow(r._1, r._2, r._3)),
+      maxHamming, cap, maxBufferedPairs).map(p => (p.id_a, p.id_b))
+
   private def brute(rows: Seq[(Long, Long, Long)], maxHamming: Int, cap: Int): Set[(Long, Long)] = {
     rows.groupBy(_._1).valuesIterator.flatMap { run =>
       if (run.size < 2) Nil
@@ -35,7 +42,7 @@ class BucketRunPairsSpec extends AnyFunSuite {
           (r.toLong, id, rnd.nextLong() & 0xFFL)
         }
       }
-      val got = new Dedup.BucketRunPairs(rows.iterator, maxHamming = 3, hotThreshold = cap).toSet
+      val got = walk(rows, 3, cap).toSet
       val want = brute(rows, 3, cap)
       assert(got === want, s"trial=$trial cap=$cap rows=${rows.size}")
     }
@@ -58,7 +65,7 @@ class BucketRunPairsSpec extends AnyFunSuite {
           (r.toLong, id, ph)
         }
       }
-      val got = new Dedup.BucketRunPairs(rows.iterator, maxHamming = 3, hotThreshold = 4096).toSet
+      val got = walk(rows, 3, 4096).toSet
       val want = brute(rows, 3, 4096)
       assert(got === want, s"trial=$trial rows=${rows.size} got=${got.size} want=${want.size}")
     }
@@ -67,33 +74,63 @@ class BucketRunPairsSpec extends AnyFunSuite {
     // 64-bit class key exercises the truncated-key grouping)
     val m = Dedup.BucketRunPairs.SubBucketMin
     val atMin = (1 to m).map(i => (9L, i.toLong, 0L))
-    assert(new Dedup.BucketRunPairs(atMin.iterator, 3, 4096).toSet === brute(atMin, 3, 4096))
+    assert(walk(atMin, 3, 4096).toSet === brute(atMin, 3, 4096))
     val dense = (1 to 100).map(i => (10L, i.toLong, 42L))
-    assert(new Dedup.BucketRunPairs(dense.iterator, 3, 4096).size === 100 * 99 / 2)
+    assert(walk(dense, 3, 4096).size === 100 * 99 / 2)
     val h0 = (1 to 80).map(i => (11L, i.toLong, if (i % 2 == 0) 7L else 9L))
-    assert(new Dedup.BucketRunPairs(h0.iterator, 0, 4096).toSet === brute(h0, 0, 4096))
+    assert(walk(h0, 0, 4096).toSet === brute(h0, 0, 4096))
   }
 
   test("pair-dense big run overflows the buffer and markers to the hot path") {
     val m = Dedup.BucketRunPairs.SubBucketMin
     // 100 identical phashes -> 4950 surviving pairs > the tiny cap
     val dense = (1 to 100).map(i => (21L, i.toLong, 42L))
-    val got = new Dedup.BucketRunPairs(dense.iterator, 3, 4096, maxBufferedPairs = 100).toSet
+    val got = walk(dense, 3, 4096, maxBufferedPairs = 100).toSet
     assert(got === Set((Long.MinValue, 21L)))
     // a mixed partition: the dense run markers, later runs still emit
     val mixed = dense ++ Seq((23L, 5000L, 1L), (23L, 5001L, 1L))
-    val got2 = new Dedup.BucketRunPairs(mixed.iterator, 3, 4096, maxBufferedPairs = 100).toSet
+    val got2 = walk(mixed, 3, 4096, maxBufferedPairs = 100).toSet
     assert(got2 === Set((Long.MinValue, 21L), (5000L, 5001L)))
     // a sparse big run (no surviving pairs) must NOT marker under a tiny cap
     val sparse = (0 until m).map(i => (24L, 6000L + i, (6000L + i) * 0x9E3779B97F4A7C15L))
-    val got3 = new Dedup.BucketRunPairs(sparse.iterator, 3, 4096, maxBufferedPairs = 10).toSet
+    val got3 = walk(sparse, 3, 4096, maxBufferedPairs = 10).toSet
     assert(got3 === brute(sparse, 3, 4096))
     assert(!got3.exists(_._1 == Long.MinValue))
   }
 
+  test("a run past 2^16 members sub-buckets correctly (20-bit index packing)") {
+    // 70,000 members in one run — beyond the old 16-bit member-index space,
+    // inside the 2^20 cap. Random phashes produce zero Hamming<=3 pairs at
+    // this scale (P ~ 44k/2^64 per pair), so the expected set is exactly the
+    // planted near-dups; any index-packing corruption would surface as
+    // missing/garbage pairs.
+    val rnd = new scala.util.Random(101)
+    val n = 70000
+    val base = Array.fill(n)(rnd.nextLong())
+    val rows = (0 until n).map(i => (1L, i.toLong, base(i))) ++
+      (0 until 200).map { i =>
+        val src = i * 349 // spread over the run
+        (1L, (n + i).toLong, base(src) ^ (1L << (i % 64)))
+      }
+    val want = (0 until 200).map { i =>
+      val src = i * 349
+      (src.toLong, (n + i).toLong)
+    }.toSet
+    val got = walk(rows, 3, 1 << 20).toSet
+    assert(got === want, s"missing=${(want -- got).size} extra=${(got -- want).size}")
+  }
+
+  test("run buffers grow past their initial 16384 capacity without loss") {
+    // one 20k-member run (past the initial buffer) ending with a planted pair
+    val rows = (0 until 20000).map(i => (5L, i.toLong, i.toLong * 0x9E3779B97F4A7C15L)) ++
+      Seq((5L, 30000L, 0xF0F0L), (5L, 30001L, 0xF0F1L))
+    val got = walk(rows, 3, 1 << 20).toSet
+    assert(got.contains((30000L, 30001L)))
+  }
+
   test("empty input and all-singleton input emit nothing") {
-    assert(new Dedup.BucketRunPairs(Iterator.empty, 3, 8).isEmpty)
+    assert(walk(Nil, 3, 8).isEmpty)
     val singles = (1L to 5L).map(i => (i, i, 0L))
-    assert(new Dedup.BucketRunPairs(singles.iterator, 3, 8).isEmpty)
+    assert(walk(singles, 3, 8).isEmpty)
   }
 }
