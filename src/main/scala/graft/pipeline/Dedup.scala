@@ -107,36 +107,41 @@ object Dedup {
     // ONE pass of the expensive upstream in the common case: the walk
     // consumes the single wide shuffle and, when it meets an oversized run,
     // emits a MARKER row (id_a = Long.MinValue, id_b = bv) instead of that
-    // run's pairs. Only the (small) walk OUTPUT is checkpointed — surviving
-    // pairs + rare markers — never the 30×-larger keyed frame; the upstream
-    // re-executes only in the pathological hot case, filtered to hot
-    // buckets. (Earlier designs either re-ran the upstream per consumer —
-    // Catalyst's column pruning specializes each consumer's exchange
-    // subplan so ReuseExchange never fires — or checkpointed the full keyed
-    // frame, whose extra GBs of block I/O erased the win in the
+    // run's pairs. The walk STREAMS straight into the dedup exchange and only
+    // the DEDUPED pair set is checkpointed: the raw emission stream (389M
+    // pairs at the 42.5M-row corpus) is ~11× the distinct set, and
+    // checkpointing it cost more block I/O than the walk itself once the
+    // storage pool was under pressure — WalkStats measured the walk+count at
+    // ~136 s vs 439 s for the walk+checkpoint+distinct stage. Markers pass
+    // through distinct unharmed (id_a = Long.MinValue never collides with a
+    // real id), so hot detection still needs no extra pass. The upstream
+    // re-executes only in the pathological hot case, filtered to hot buckets.
+    // (Earlier designs either re-ran the upstream per consumer — Catalyst's
+    // column pruning specializes each consumer's exchange subplan so
+    // ReuseExchange never fires — or checkpointed the full keyed frame or the
+    // raw emission stream, whose extra GBs of block I/O erased the win in the
     // bandwidth-bound 32-core regime.)
     def runWalk(kf: DataFrame): (Array[Long], DataFrame) = {
       // marker count travels back on an accumulator (populated by the eager
-      // localCheckpoint): in the common no-hot-bucket case the post-walk
-      // marker scan of the full pair checkpoint is skipped entirely —
-      // measured 69 s over the 386M-pair checkpoint at the 42.5M-row corpus.
-      // Task retries can only inflate the count (the walk is deterministic),
-      // and the count is only tested against zero.
+      // localCheckpoint of the DEDUPED frame). Task retries can only inflate
+      // the count (the walk is deterministic), and it is only tested against
+      // zero; the hot bv collect scans the small deduped checkpoint.
       val markers = spark.sparkContext.longAccumulator("graft.dedup.hotMarkers")
-      val walked = kf.select(col("bv"), col("id"), col("phash"))
+      val deduped = kf.select(col("bv"), col("id"), col("phash"))
         .repartition(col("bv"))
         .sortWithinPartitions(col("bv"))
         .as[BandedRow]
         .mapPartitions(it => new BucketRunPairs(it, maxHamming, hotThreshold, markers = markers))
         .toDF("id_a", "id_b")
+        .distinct()
         .localCheckpoint()
       val hotBvs = if (markers.value == 0L) Array.empty[Long]
-        else walked.where(col("id_a") === Long.MinValue)
-          .select(col("id_b")).distinct().as[Long].collect()
-      (hotBvs, walked.where(col("id_a") =!= Long.MinValue))
+        else deduped.where(col("id_a") === Long.MinValue)
+          .select(col("id_b")).as[Long].collect()
+      (hotBvs, deduped.where(col("id_a") =!= Long.MinValue))
     }
     val (hotBvs, small) = runWalk(keyed)
-    if (hotBvs.isEmpty) return small.distinct()
+    if (hotBvs.isEmpty) return small
     // Hot path: bucket sizes for POPULAR band values grow ∝ corpus size, so
     // any raw per-bucket cross product is quadratic in N (measured at sf1:
     // 249 hot buckets, 7.1M members, 142e9 raw pairs — 62× the sf0.1 walk
@@ -155,6 +160,8 @@ object Dedup {
       .select(col("bv").as("obv"), col("id"), col("phash"),
         explode(gf.phash_block_keys(col("phash"), maxHamming + 1)).as("ck"))
       .select(xxhash64(col("obv"), col("ck")).as("bv"), col("id"), col("phash"))
+    // each pass is internally deduped; the cross-pass distinct below removes
+    // pairs that collide both in a cold bucket (pass 1) and a hot one (pass 2)
     val (denseBvs, small2) = runWalk(refined)
     if (denseBvs.isEmpty) return small.union(small2).distinct()
     // Terminal path: a refined bucket only stays hot when >hotThreshold
@@ -206,10 +213,24 @@ object Dedup {
   private[graft] final case class BandedRow(bv: Long, id: Long, phash: Long)
   private[graft] final case class PairRow(id_a: Long, id_b: Long)
 
+  /** dev-only walk instrumentation: per-task local longs flushed into these
+    * accumulators when the iterator exhausts (zero per-event accumulator
+    * traffic; the local adds are noise next to the bitCount they sit beside).
+    * Shipped paths pass null. */
+  private[graft] final class WalkCounters(
+      val rows: org.apache.spark.util.LongAccumulator,
+      val runs: org.apache.spark.util.LongAccumulator,
+      val subRuns: org.apache.spark.util.LongAccumulator,
+      val subSortedElems: org.apache.spark.util.LongAccumulator,
+      val subChecks: org.apache.spark.util.LongAccumulator,
+      val cursorChecks: org.apache.spark.util.LongAccumulator,
+      val emitted: org.apache.spark.util.LongAccumulator) extends Serializable
+
   private[graft] final class BucketRunPairs(
       rows: Iterator[BandedRow], maxHamming: Int, hotThreshold: Int,
       maxBufferedPairs: Int = BucketRunPairs.MaxBufferedPairs,
-      markers: org.apache.spark.util.LongAccumulator = null)
+      markers: org.apache.spark.util.LongAccumulator = null,
+      counters: WalkCounters = null)
       extends Iterator[PairRow] {
     import BucketRunPairs.SubBucketMin
     // the sub-bucket pass packs the member index into 20 bits of its sort key
@@ -233,6 +254,14 @@ object Dedup {
     private var heldBv = 0L
     private var heldId = 0L
     private var heldPh = 0L
+    // dev counters (local longs; flushed once at input end — see WalkCounters)
+    private var cRows = 0L
+    private var cRuns = 0L
+    private var cSubRuns = 0L
+    private var cSubSorted = 0L
+    private var cSubChecks = 0L
+    private var cCursorChecks = 0L
+    private var cEmitted = 0L
     private var nextPair: PairRow = _
     advance()
 
@@ -245,17 +274,20 @@ object Dedup {
       if (!hasHeld) {
         if (!rows.hasNext) return -1
         val r = rows.next()
+        cRows += 1
         heldBv = r.bv; heldId = r.id; heldPh = r.phash
       }
       val bv = heldBv
       curBv = bv
       ids(0) = heldId; phs(0) = heldPh
       n = 1
+      cRuns += 1
       hasHeld = false
       var overflow = false
       var done = false
       while (!done && rows.hasNext) {
         val r = rows.next()
+        cRows += 1
         if (r.bv != bv) {
           heldBv = r.bv; heldId = r.id; heldPh = r.phash; hasHeld = true; done = true
         } else if (n == cap) overflow = true
@@ -291,9 +323,11 @@ object Dedup {
           while (b < n) {
             val j = b
             b += 1
+            cCursorChecks += 1
             if (java.lang.Long.bitCount(pa ^ phs(j)) <= maxHamming) {
               val x = ids(a)
               val y = ids(j)
+              cEmitted += 1
               nextPair = if (x < y) PairRow(x, y) else PairRow(y, x)
               return
             }
@@ -302,7 +336,14 @@ object Dedup {
         }
         a = 0; b = 1
         fillRun() match {
-          case -1 => nextPair = null; return
+          case -1 =>
+            if (counters != null) {
+              counters.rows.add(cRows); counters.runs.add(cRuns)
+              counters.subRuns.add(cSubRuns); counters.subSortedElems.add(cSubSorted)
+              counters.subChecks.add(cSubChecks); counters.cursorChecks.add(cCursorChecks)
+              counters.emitted.add(cEmitted)
+            }
+            nextPair = null; return
           case 1  =>
             if (markers != null) markers.add(1)
             nextPair = PairRow(Long.MinValue, markerBv); return
@@ -328,6 +369,7 @@ object Dedup {
 
     /** emit a surviving pair into the eager buffer (ids normalized). */
     private def appendPair(x: Long, y: Long): Unit = {
+      cEmitted += 1
       if (bufN == bufA.length) {
         bufA = java.util.Arrays.copyOf(bufA, bufN * 2)
         bufB = java.util.Arrays.copyOf(bufB, bufN * 2)
@@ -344,6 +386,8 @@ object Dedup {
     private def subBucketRun(): Boolean = {
       bufN = 0; bufI = 0
       val classes = maxHamming + 1
+      cSubRuns += 1
+      cSubSorted += classes.toLong * n
       // per-class per-member key: gather bits j ≡ c (mod classes)
       val keys = new Array[Long](classes * n)
       var m = 0
@@ -385,6 +429,7 @@ object Dedup {
             var i2 = i1 + 1
             while (i2 < hi) {
               val mb = (packed(i2) & 0xFFFFF).toInt
+              cSubChecks += 1
               if (java.lang.Long.bitCount(pa ^ phs(mb)) <= maxHamming) {
                 // dedup: emit only at the FIRST agreeing class
                 var cc = 0
