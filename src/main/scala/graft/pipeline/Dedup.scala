@@ -634,16 +634,17 @@ object Dedup {
   }
 
   /** Driver-memory-scaled cap for the [[clustersLocal]] fast path, instead
-    * of a fixed constant: the collected edge list costs ~96 B/edge on-heap
-    * (specialized (Long,Long) tuples ≈ 40 B + the sorted vid / parent /
-    * label arrays ≈ 28 B + copy headroom), so admit edge sets whose working
-    * set stays under 1/8 of `maxHeapBytes`, floored at the field-proven 20M
-    * (320 MB — safe even on small driver heaps, where the flat arrays
-    * dominate transient collect buffers). A 24 GB driver admits ~31M edges;
-    * a 64 GB driver ~83M; past that the distributed label-propagation loop
-    * takes over. */
+    * of a fixed constant. The edge list is collected as per-partition PACKED
+    * primitive long arrays (no per-edge tuple boxing), so the peak driver
+    * working set is ~64 B/edge: 16 B packed chunks + 16 B vid copies + the
+    * sorted vid / parent / label arrays + copy headroom. Admit edge sets
+    * whose working set stays under 1/8 of `maxHeapBytes`, floored at the
+    * field-proven 20M (safe even on small driver heaps). A 24 GB driver
+    * admits ~47M edges (the 42.5M-row corpus confirms ~37M — it rides the
+    * fast path); a 64 GB driver ~125M; past that the distributed
+    * label-propagation loop takes over. */
   def clustersLocalThreshold(maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
-    math.max(20000000L, maxHeapBytes / 8 / 96)
+    math.max(20000000L, maxHeapBytes / 8 / 64)
 
   /** Hybrid fast path: when the duplicate subgraph fits on the driver (edge
     * lists are 16 bytes/edge; 20M edges ≈ 320 MB), collect ONLY the edges,
@@ -654,12 +655,29 @@ object Dedup {
   private def clustersLocal(e: DataFrame, vertices: DataFrame): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    val pairs = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    // collect the edges as per-partition PACKED long arrays
+    // [src0,dst0,src1,dst1,…]: one boxed object per PARTITION on the wire
+    // instead of a (Long,Long) tuple per edge — the transient tuple boxing
+    // (~48 B/edge) used to dominate the driver's peak footprint and forced
+    // the admission cap below what the flat union-find arrays need
+    val chunks: Array[Array[Long]] = e.select(col("src"), col("dst"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (it.hasNext) { val p = it.next(); buf += p._1; buf += p._2 }
+        Iterator.single(buf.result())
+      }
+      .collect()
+    val nEdges2 = chunks.iterator.map(_.length.toLong).sum.toInt / 2
     // dense-index primitive union-find (no boxing): vids → sorted unique ids
-    val vids = new Array[Long](pairs.length * 2)
+    val vids = new Array[Long](nEdges2 * 2)
     var i = 0
-    while (i < pairs.length) {
-      vids(2 * i) = pairs(i)._1; vids(2 * i + 1) = pairs(i)._2; i += 1
+    var ci = 0
+    while (ci < chunks.length) {
+      val ch = chunks(ci)
+      System.arraycopy(ch, 0, vids, i, ch.length)
+      i += ch.length
+      ci += 1
     }
     java.util.Arrays.sort(vids)
     var nv = 0
@@ -675,12 +693,17 @@ object Dedup {
       if (p == x) x
       else { parent(x) = parent(p); find(parent(x)) }
     }
-    i = 0
-    while (i < pairs.length) {
-      val a = find(java.util.Arrays.binarySearch(vids, 0, nv, pairs(i)._1))
-      val b = find(java.util.Arrays.binarySearch(vids, 0, nv, pairs(i)._2))
-      if (a != b) { if (a < b) parent(b) = a else parent(a) = b } // min-index = min-id (vids sorted)
-      i += 1
+    ci = 0
+    while (ci < chunks.length) {
+      val ch = chunks(ci)
+      i = 0
+      while (i < ch.length) {
+        val a = find(java.util.Arrays.binarySearch(vids, 0, nv, ch(i)))
+        val b = find(java.util.Arrays.binarySearch(vids, 0, nv, ch(i + 1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b } // min-index = min-id (vids sorted)
+        i += 2
+      }
+      ci += 1
     }
     val labelArr = new Array[Long](nv)
     i = 0

@@ -131,7 +131,7 @@ object ScaleBench {
       // above are judged against this workload, not against row count alone.
       case class W(sf: String, rows: Long, distinctPhash: Long, eqPhashPairs: Long,
           maxPhashOcc: Long, checks: Long, emitted: Long, distinctCand: Long,
-          confirmed: Long, walkWall: Double, confirmWall: Double)
+          confirmed: Long, walkWall: Double, candWall: Double, confirmWall: Double)
       val ws = Seq("sf0.1", "sf0.3", "sf1").map { sf =>
         val s = Bench.session(32, partitions = partitionsFor(sf))
         s.sparkContext.setLogLevel("WARN")
@@ -154,31 +154,36 @@ object ScaleBench {
           acc.longAccumulator("subRuns"), acc.longAccumulator("subSortedElems"),
           acc.longAccumulator("subChecks"), acc.longAccumulator("cursorChecks"),
           acc.longAccumulator("emitted"))
+        // pure walk (count only, nothing materialized): the unit-cost
+        // denominator for the counters
         val t0 = System.nanoTime()
-        val walked = keyed.select(col("bv"), col("id"), col("phash"))
+        keyed.select(col("bv"), col("id"), col("phash"))
           .repartition(col("bv")).sortWithinPartitions(col("bv"))
           .as[Dedup.BandedRow]
           .mapPartitions(it => new Dedup.BucketRunPairs(it, cfg.hammingThreshold,
             1 << 20, counters = ctrs))
-          .toDF("id_a", "id_b").localCheckpoint()
-        walked.count()
+          .toDF("id_a", "id_b").count()
         val walkWall = (System.nanoTime() - t0) / 1e9
-        val cand = walked.distinct().localCheckpoint()
-        val nCand = cand.count()
+        // the SHIPPED candidate stage (walk streamed into distinct, deduped
+        // checkpoint) for the distinct-candidate count + stage wall
         val t1 = System.nanoTime()
+        val cand = Dedup.candidatesFromBands(sigs, cfg)
+        val nCand = cand.count()
+        val candWall = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
         val confirmed = Dedup.confirm(cand, corpus, cfg).count()
-        val confirmWall = (System.nanoTime() - t1) / 1e9
+        val confirmWall = (System.nanoTime() - t2) / 1e9
         val rows = corpus.count()
         s.stop()
         W(sf, rows, ph.getLong(0), ph.getLong(1), ph.getLong(2),
           ctrs.subChecks.value + ctrs.cursorChecks.value, ctrs.emitted.value,
-          nCand, confirmed, walkWall, confirmWall)
+          nCand, confirmed, walkWall, candWall, confirmWall)
       }
       out ++= "## Workload: what the predicate forces at each scale (walk counters)\n\n"
-      out ++= "| corpus | rows | distinct pHash | equal-pHash pairs | max pHash occupancy | forced Hamming checks | emitted pairs | distinct candidates | confirmed edges | walk wall (s) | confirm wall (s) |\n"
-      out ++= "|---|---|---|---|---|---|---|---|---|---|---|\n"
+      out ++= "| corpus | rows | distinct pHash | equal-pHash pairs | max pHash occupancy | forced Hamming checks | emitted pairs | distinct candidates | confirmed edges | pure walk wall (s) | candidate stage wall (s) | confirm wall (s) |\n"
+      out ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
       ws.foreach { w =>
-        out ++= f"| ${w.sf} | ${w.rows} | ${w.distinctPhash} | ${w.eqPhashPairs} | ${w.maxPhashOcc} | ${w.checks} | ${w.emitted} | ${w.distinctCand} | ${w.confirmed} | ${w.walkWall}%.2f | ${w.confirmWall}%.2f |\n"
+        out ++= f"| ${w.sf} | ${w.rows} | ${w.distinctPhash} | ${w.eqPhashPairs} | ${w.maxPhashOcc} | ${w.checks} | ${w.emitted} | ${w.distinctCand} | ${w.confirmed} | ${w.walkWall}%.2f | ${w.candWall}%.2f | ${w.confirmWall}%.2f |\n"
       }
       val (a, b) = (ws.head, ws.last)
       val scale = b.rows.toDouble / a.rows
@@ -208,15 +213,15 @@ object ScaleBench {
         |  series is the workload's growth, at flat-or-better unit cost.
         |- **True output stays linear** (confirmed edges per row:
         |  ${a.confirmed.toDouble / a.rows}%.3f → ${b.confirmed.toDouble / b.rows}%.3f), so
-        |  downstream stages scale. At sf1 the confirmed edge set crosses the
-        |  heap-scaled local union-find cap (Dedup.clustersLocalThreshold) and
-        |  clustering moves onto the distributed label-propagation path by
-        |  design — a documented crossover, constant past the cap, not a
-        |  super-linear term.
+        |  downstream stages scale. The sf1 edge set (packed-primitive collect,
+        |  ~64 B/edge on the driver) still fits the heap-scaled local
+        |  union-find cap (Dedup.clustersLocalThreshold: ~47M edges at 24 GB);
+        |  corpora past the cap flip to the distributed label-propagation
+        |  path by design — a documented crossover, not a super-linear term.
         |
         |""".stripMargin
       endSection("workload")
-      println(ws.map(w => f"""{"sf":"${w.sf}","rows":${w.rows},"checks":${w.checks},"emitted":${w.emitted},"candidates":${w.distinctCand},"confirmed":${w.confirmed},"walk_wall_sec":${w.walkWall}%.2f}""").mkString("[", ",", "]"))
+      println(ws.map(w => f"""{"sf":"${w.sf}","rows":${w.rows},"checks":${w.checks},"emitted":${w.emitted},"candidates":${w.distinctCand},"confirmed":${w.confirmed},"walk_wall_sec":${w.walkWall}%.2f,"cand_wall_sec":${w.candWall}%.2f}""").mkString("[", ",", "]"))
     }
 
     if (mode == "all" || mode == "decode") {

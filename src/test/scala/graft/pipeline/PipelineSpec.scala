@@ -99,11 +99,12 @@ class PipelineSpec extends AnyFunSuite {
     // small heaps keep the field-proven floor
     assert(Dedup.clustersLocalThreshold(1L << 30) === 20000000L)
     assert(Dedup.clustersLocalThreshold(8L << 30) === 20000000L)
-    // big heaps admit proportionally more (1/8 heap at ~96 B/edge)
+    // big heaps admit proportionally more (1/8 heap at ~64 B/edge —
+    // packed-primitive collect, see clustersLocal)
     val at64g = Dedup.clustersLocalThreshold(64L << 30)
-    assert(at64g === (64L << 30) / 8 / 96)
+    assert(at64g === (64L << 30) / 8 / 64)
     assert(at64g > 20000000L)
-    assert(Dedup.clustersLocalThreshold(256L << 30) === (256L << 30) / 8 / 96)
+    assert(Dedup.clustersLocalThreshold(256L << 30) === (256L << 30) / 8 / 64)
     // default reads the live heap and is always at least the floor
     assert(Dedup.clustersLocalThreshold() >= 20000000L)
   }
