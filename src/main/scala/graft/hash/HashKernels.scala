@@ -140,6 +140,20 @@ object HashKernels {
 
   /** key usable with signed sort to obtain unsigned order */
   @inline def unsignedSortKey(x: Long): Long = x ^ Long.MinValue
+
+  /** Gather the bits of `x` at positions ≡ `c` (mod 4), compressed into the
+    * low 16 bits in position order (source bit 4k+c → bit k): a 4-way
+    * perfect unshuffle by shift-or folding — ~12 ALU ops, replacing the
+    * 64-iteration per-bit gather loop on the pigeonhole hot paths (the
+    * interleaved block-key channel and the in-walk sub-bucket pass both use
+    * 4 classes at the shipped Hamming threshold of 3). */
+  @inline def unzip4(x: Long, c: Int): Long = {
+    var v = (x >>> c) & 0x1111111111111111L // bits at 0,4,…,60
+    v = (v | (v >>> 3)) & 0x0303030303030303L // 2 bits per byte
+    v = (v | (v >>> 6)) & 0x000F000F000F000FL // 4 bits per 16
+    v = (v | (v >>> 12)) & 0x000000FF000000FFL // 8 bits per 32
+    (v | (v >>> 24)) & 0xFFFFL // 16 contiguous bits
+  }
 }
 
 /** MT19937-64 (Matsumoto & Nishimura, public specification) — reproduces the

@@ -388,9 +388,22 @@ object Dedup {
       val classes = maxHamming + 1
       cSubRuns += 1
       cSubSorted += classes.toLong * n
-      // per-class per-member key: gather bits j ≡ c (mod classes)
+      // per-class per-member key: gather bits j ≡ c (mod classes). The
+      // shipped config (hammingThreshold 3 ⇒ 4 classes) takes the ~12-op
+      // perfect-unshuffle kernel; other class counts keep the per-bit loop.
       val keys = new Array[Long](classes * n)
       var m = 0
+      if (classes == 4) {
+        import graft.hash.HashKernels.unzip4
+        while (m < n) {
+          val ph = phs(m)
+          keys(m) = unzip4(ph, 0)
+          keys(n + m) = unzip4(ph, 1)
+          keys(2 * n + m) = unzip4(ph, 2)
+          keys(3 * n + m) = unzip4(ph, 3)
+          m += 1
+        }
+      } else
       while (m < n) {
         val ph = phs(m)
         var j = 0

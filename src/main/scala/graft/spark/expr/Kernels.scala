@@ -106,6 +106,12 @@ object Kernels {
     val out = new Array[Long](blocks)
     val width = 64 / blocks
     var i = 0
+    if (blocks == 4) { // shipped Hamming-3 config: perfect-unshuffle kernel
+      while (i < 4) {
+        out(i) = (i.toLong << 56) | graft.hash.HashKernels.unzip4(phash, i)
+        i += 1
+      }
+    } else
     while (i < blocks) {
       var v = 0L
       var j = 0

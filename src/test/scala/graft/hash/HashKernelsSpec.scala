@@ -129,4 +129,17 @@ class HashKernelsSpec extends AnyFunSuite {
     assert(!HashKernels.unsignedLess(-1L, 0L))
     assert(HashKernels.unsignedLess(Long.MaxValue, Long.MinValue)) // 2^63-1 < 2^63
   }
+  test("unzip4 == per-bit gather of positions ≡ c (mod 4)") {
+    def gather(x: Long, c: Int): Long = {
+      var v = 0L
+      var j = c
+      while (j < 64) { v |= ((x >>> j) & 1L) << (j / 4); j += 4 }
+      v
+    }
+    val rnd = new scala.util.Random(5)
+    val cases = Seq(0L, -1L, Long.MinValue, Long.MaxValue,
+      0x1111111111111111L, 0x8888888888888888L) ++ Seq.fill(200)(rnd.nextLong())
+    for (x <- cases; c <- 0 until 4)
+      assert(HashKernels.unzip4(x, c) === gather(x, c), f"x=$x%016x c=$c")
+  }
 }
