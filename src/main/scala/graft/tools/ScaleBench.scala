@@ -255,11 +255,15 @@ object ScaleBench {
         s.sparkContext.setLogLevel("WARN")
         val rows = SyntheticImages.ensure(s, s"/root/testdata/$sf").count()
         try { q(s, "/root/testdata/sf0.001").count() } catch { case _: Throwable => } // JIT warm
-        val t = timed(q(s, s"/root/testdata/$sf").count())
+        // best-of-2: run 1 may stream the encoded bytes from cold disk
+        // (8.9 GB at sf0.1 ≈ 100 s of I/O alone); run 2 reads the page
+        // cache, measuring the decode compute this section is about
+        val t = (1 to 2).map(_ => timed(q(s, s"/root/testdata/$sf").count())).min
         s.stop()
         (sf, rows, t)
       }
       out ++= "## Decode stage at 3x: img_decode_meta over the FULL (bytes) corpora\n\n"
+      out ++= "Walls are best-of-2 in a warm session: the first pass can stream the\nencoded bytes from cold disk, the second measures decode compute.\n\n"
       out ++= "| corpus | rows | wall (s) | images/s | µs/image |\n|---|---|---|---|---|\n"
       walls.foreach { case (sf, rows, t) =>
         out ++= f"| $sf full | $rows | $t%.2f | ${rows / t}%.0f | ${t * 1e6 / rows}%.3f |\n"
