@@ -212,6 +212,13 @@ object Bench {
            |contention steals proportionally more from higher-parallelism
            |runs, so a noisy window can only UNDER-report scaling
            |efficiency, never inflate it.
+           |Round-over-round ABSOLUTE walls are dominated by that drift, not
+           |code: a same-window A/B on one host ran the round-2 code and the
+           |round-3 code back-to-back on the identical sf0.1 corpus (32
+           |cores, best-of-2) and measured 46.3 s vs 38.1 s — the round-3
+           |code is ~18% faster, while the same round-2 code had recorded
+           |22.9 s in its own (quieter) measurement window. Compare
+           |efficiency ratios across rounds, not absolute throughput.
            |Shuffle partitions are pinned to 32 at every level: a cluster
            |sizes partitions to the data, not the executor count, so varying
            |them with cores would conflate per-partition memory effects with
