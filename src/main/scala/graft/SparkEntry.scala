@@ -450,11 +450,15 @@ object SparkEntry {
 
       "doc_ngram_dup_pairs" -> docNgramPairsSql,
 
+      // candidates join on the SAME combined 64-bit key the Spark walk
+      // buckets by (md5half of 'bi:bv' — Md5Channels.bandWalkKey), so even
+      // 64-bit truncation-collision behavior is engine-identical
       "doc_minhash_dup_pairs_md5" ->
         s"""WITH $docGramsSql,
            |${minhashBandsSql("doc_id")},
+           |bw AS (SELECT doc_id, ${h64("concat(bi, ':', bv)")} AS wk FROM bk),
            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |         FROM bk a JOIN bk b ON a.bi = b.bi AND a.bv = b.bv
+           |         FROM bw a JOIN bw b ON a.wk = b.wk
            |              AND a.doc_id < b.doc_id),
            |conf AS (SELECT c.id_a, c.id_b,
            |           len(list_intersect(ga.grams, gb.grams)) AS iv,
@@ -480,8 +484,9 @@ object SparkEntry {
       "dup_pairs_minhash_md5" ->
         s"""WITH $imgToksSql,
            |${minhashBandsSql("image_id")},
+           |bw AS (SELECT image_id, ${h64("concat(bi, ':', bv)")} AS wk FROM bk),
            |cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
-           |         FROM bk a JOIN bk b ON a.bi = b.bi AND a.bv = b.bv
+           |         FROM bw a JOIN bw b ON a.wk = b.wk
            |              AND a.image_id < b.image_id),
            |$imgConfirmSql
            |SELECT id_a, id_b FROM conf

@@ -94,17 +94,34 @@ object DocOps {
 
   /** banded MinHash LSH near-dup pairs + exact n-gram jaccard confirm.
     * Sub-quadratic candidate generation; recall vs the exact pairs is a
-    * tested property (≥ 0.99 at default bands). */
+    * tested property (≥ 0.99 at default bands).
+    *
+    * Candidate generation runs through the shared skew-hardened run-walk
+    * ([[graft.pipeline.Dedup.saltedAllPairs]]) instead of a band self-join:
+    * boilerplate-heavy text — the NORMAL 100-TB web case — puts thousands of
+    * near-identical docs into one band bucket, and a plain self-join
+    * materializes that bucket's full O(n²) cross product inside one skewed
+    * partition (AQE can split the partition but not shrink the candidate
+    * volume). The walk streams cold buckets from a tight loop and fans hot
+    * buckets across `saltChunks` tasks via salt-and-replicate — the same
+    * machinery the image channel uses (planted-boilerplate case in
+    * DocOpsSpec mirrors SaltingSpec). */
   def minhashDupPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.6,
-      numPerm: Int = 128, bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
-    val sigs = docs.select(col("doc_id"),
-      gf.minhash_sig(gf.token_ngrams(col("text"), n), numPerm, 42L).as("sig"))
-    val keyed = sigs.select(col("doc_id"),
-      posexplode(gf.band_keys(col("sig"), bands, rowsPerBand)).as(Seq("bi", "bv")))
-    val cand = keyed.select(col("bi"), col("bv"), col("doc_id").as("id_a"))
-      .join(keyed.select(col("bi"), col("bv"), col("doc_id").as("id_b")), Seq("bi", "bv"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      numPerm: Int = 128, bands: Int = 64, rowsPerBand: Int = 2,
+      hotThreshold: Int = 1 << 12, saltChunks: Int = 16): DataFrame = {
+    // the banded frame is materialized BEFORE the explode: the walk's hot
+    // path re-executes its input filtered to hot buckets, and with the
+    // signature inline that re-run would repeat the 128-perm stage over the
+    // full corpus (the Dedup.dupPairsMinhash lesson); the band-key arrays
+    // are also 4× smaller than the signature they replace
+    val banded = docs.select(col("doc_id").as("id"),
+      gf.band_keys(
+        gf.minhash_sig(gf.token_ngrams(col("text"), n), numPerm, 42L),
+        bands, rowsPerBand).as("bands"))
+      .localCheckpoint()
+    val keyed = banded.select(col("id"), lit(0L).as("phash"), explode(col("bands")).as("bv"))
+    val cand = graft.pipeline.Dedup.saltedAllPairs(keyed, hotThreshold, saltChunks)
+      .toDF("id_a", "id_b")
     val texts = docs.select(col("doc_id"), col("text"))
     cand
       .join(texts.toDF("id_a", "text_a"), "id_a")
@@ -114,26 +131,29 @@ object DocOps {
   }
 
   /** SimHash near-dup pairs: 64-bit SimHash over token n-grams, pigeonhole
-    * block join (exact cover of Hamming ≤ blocks−1), Hamming filter. */
-  def simhashDupPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val blocks = maxHamming + 1
+    * block keys (exact cover of Hamming ≤ blocks−1), Hamming filter.
+    *
+    * Runs through the full [[graft.pipeline.Dedup.saltedBucketPairs]]
+    * machinery with the simhash as the walk's Hamming-filter signature —
+    * the doc-side twin of the image channel: one wide shuffle, in-walk
+    * pigeonhole sub-bucketing for large FALSE-collision buckets, hot-bucket
+    * refinement, terminal salting for genuine mega-clusters. Interleaved
+    * block keys replace the former contiguous ones — any partition of the
+    * 64 bit positions into `blocks` classes preserves the exact cover, so
+    * the Hamming-filtered output is identical. */
+  def simhashDupPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3,
+      hotThreshold: Int = 1 << 20, saltChunks: Int = 16): DataFrame = {
     val sigs = docs.select(col("doc_id"),
       gf.simhash64(gf.token_ngrams(col("text"), n)).as("sh"))
-    val width = 64 / blocks
-    val keyed = sigs.withColumn("blk", explode(array((0 until blocks).map { i =>
-        struct(lit(i).as("bi"),
-          shiftright(col("sh"), i * width).bitwiseAND(lit((1L << width) - 1)).as("bv"))
-      }: _*)))
-      .select(col("doc_id"), col("sh"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
-    keyed.select(col("bi"), col("bv"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      .join(keyed.select(col("bi"), col("bv"), col("doc_id").as("id_b"), col("sh").as("sh_b")),
-        Seq("bi", "bv"))
-      .where(col("id_a") < col("id_b"))
+      .localCheckpoint() // the walk's hot path re-reads its input filtered to hot buckets
+    val keyed = sigs.select(col("doc_id").as("id"), col("sh").as("phash"),
+      explode(gf.phash_block_keys(col("sh"), maxHamming + 1)).as("bv"))
+    graft.pipeline.Dedup.saltedBucketPairs(keyed, maxHamming, hotThreshold, saltChunks)
+      .toDF("id_a", "id_b")
+      .join(sigs.toDF("id_a", "sh_a"), "id_a")
+      .join(sigs.toDF("id_b", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
   /** stopword list used by the quality heuristics (must stay in sync with

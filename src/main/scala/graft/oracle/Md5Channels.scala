@@ -112,11 +112,23 @@ object Md5Channels {
 
   // ---------------------------------------------------------------- channels
 
+  /** combined 64-bit walk key for an (int band index, md5-hex band value)
+    * pair: md5half of `bi || ':' || bv`. Mirrored VERBATIM in the oracle SQL
+    * (both engines bucket on the identical 64-bit value), so even the
+    * negligible truncation-collision behavior is shared — candidate sets
+    * match by construction, not just with high probability. */
+  private def bandWalkKey(bi: Column, bv: Column): Column =
+    md5half(concat(bi.cast("string"), lit(":"), bv))
+
   /** doc near-dup pairs: md5 xor-perm MinHash (numPerm slots, bands×r
     * banding), exact n-gram-jaccard confirm. Both candidate generation and
-    * confirm are engine-reproducible. */
+    * confirm are engine-reproducible. Candidates run through the shared
+    * skew-hardened all-pairs walk ([[graft.pipeline.Dedup.saltedAllPairs]]),
+    * same as the fast channel — boilerplate-hot band buckets fan across
+    * salted tasks instead of materializing a skewed self-join partition. */
   def docMinhashDupPairsMd5(docs: DataFrame, n: Int = 3, tau: Double = 0.6,
-      numPerm: Int = 32, bands: Int = 16, r: Int = 2): DataFrame = {
+      numPerm: Int = 32, bands: Int = 16, r: Int = 2,
+      hotThreshold: Int = 1 << 12, saltChunks: Int = 16): DataFrame = {
     val grams = tokenNgramStrings(col("text"), n)
     val sigs = docs
       .where(size(split(col("text"), " ")) >= n)
@@ -124,10 +136,10 @@ object Md5Channels {
       .select(col("doc_id"), col("grams"),
         bandKeysMd5(xorMinhashMinima(hashes63(col("grams")), numPerm), bands, r).as("bks"))
     val keyed = sigs.select(col("doc_id"), posexplode(col("bks")).as(Seq("bi", "bv")))
-    val cand = keyed.select(col("bi"), col("bv"), col("doc_id").as("id_a"))
-      .join(keyed.select(col("bi"), col("bv"), col("doc_id").as("id_b")), Seq("bi", "bv"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select(col("doc_id").as("id"), lit(0L).as("phash"),
+        bandWalkKey(col("bi"), col("bv")).as("bv"))
+    val cand = graft.pipeline.Dedup.saltedAllPairs(keyed, hotThreshold, saltChunks)
+      .toDF("id_a", "id_b")
     val gsets = sigs.select(col("doc_id"), col("grams"))
     cand
       .join(gsets.toDF("id_a", "g_a"), "id_a")
@@ -140,40 +152,47 @@ object Md5Channels {
   }
 
   /** doc near-dup pairs: md5 majority-vote SimHash, contiguous pigeonhole
-    * blocks (exact cover of Hamming ≤ blocks−1), Hamming filter. */
-  def docSimhashDupPairsMd5(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    * blocks (exact cover of Hamming ≤ blocks−1), Hamming filter. Runs
+    * through the full salted run-walk with the simhash as the Hamming
+    * signature; the combined walk key `bi·2^width + bv` is injective, so
+    * bucketing is identical to the oracle's (bi, bv) join. */
+  def docSimhashDupPairsMd5(docs: DataFrame, n: Int = 3, maxHamming: Int = 3,
+      hotThreshold: Int = 1 << 20, saltChunks: Int = 16): DataFrame = {
     val blocks = maxHamming + 1
+    val width = 64 / blocks
     val sigs = docs
       .where(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"),
         simhash64Md5(hashes63(tokenNgramStrings(col("text"), n))).as("sh"))
+      .localCheckpoint() // the walk's hot path re-reads its input filtered to hot buckets
     val keyed = sigs
       .select(col("doc_id"), col("sh"), explode(contiguousBlocks(col("sh"), blocks)).as("blk"))
-      .select(col("doc_id"), col("sh"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
-    keyed.select(col("bi"), col("bv"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      .join(keyed.select(col("bi"), col("bv"), col("doc_id").as("id_b"), col("sh").as("sh_b")),
-        Seq("bi", "bv"))
-      .where(col("id_a") < col("id_b"))
+      .select(col("doc_id").as("id"), col("sh").as("phash"),
+        (col("blk.bi").cast("long") * (1L << width) + col("blk.bv")).as("bv"))
+    graft.pipeline.Dedup.saltedBucketPairs(keyed, maxHamming, hotThreshold, saltChunks)
+      .toDF("id_a", "id_b")
+      .join(sigs.toDF("id_a", "sh_a"), "id_a")
+      .join(sigs.toDF("id_b", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
   }
 
   /** image banded-MinHash channel, md5 variant: xor-perm MinHash over the
     * distinct caption token set; confirm = phash Hamming ≤ ht AND exact
     * token jaccard ≥ tau (the dup_pairs predicate). */
   def imgMinhashDupPairsMd5(corpus: DataFrame, ht: Int = 3, tau: Double = 0.5,
-      numPerm: Int = 32, bands: Int = 16, r: Int = 2): DataFrame = {
+      numPerm: Int = 32, bands: Int = 16, r: Int = 2,
+      hotThreshold: Int = 1 << 12, saltChunks: Int = 16): DataFrame = {
+    import graft.pipeline.Dedup.{idNum, idStr, saltedAllPairs}
     val sigs = corpus.select(col("image_id"), col("phash"),
       tokenNgramStrings(col("caption"), 1).as("toks"))
       .select(col("image_id"), col("phash"), col("toks"),
         bandKeysMd5(xorMinhashMinima(hashes63(col("toks")), numPerm), bands, r).as("bks"))
     val keyed = sigs.select(col("image_id"), posexplode(col("bks")).as(Seq("bi", "bv")))
-    val cand = keyed.select(col("bi"), col("bv"), col("image_id").as("id_a"))
-      .join(keyed.select(col("bi"), col("bv"), col("image_id").as("id_b")), Seq("bi", "bv"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select(idNum(col("image_id")).as("id"), lit(0L).as("phash"),
+        bandWalkKey(col("bi"), col("bv")).as("bv"))
+    val cand = saltedAllPairs(keyed, hotThreshold, saltChunks)
+      .select(idStr(col("id_a")).as("id_a"), idStr(col("id_b")).as("id_b"))
     confirmTokens(cand, sigs.select(col("image_id"), col("phash"), col("toks")), ht, tau)
   }
 
@@ -182,20 +201,22 @@ object Md5Channels {
     * Hamming-filtered on phash (mirrors Dedup.candidatesSimhash, which
     * Hamming-filters inside the bucket walk); confirm = dup_pairs predicate. */
   def imgSimhashDupPairs(corpus: DataFrame, ht: Int = 3, tau: Double = 0.5,
-      simhashBlocks: Int = 4): DataFrame = {
+      simhashBlocks: Int = 4, hotThreshold: Int = 1 << 20, saltChunks: Int = 16): DataFrame = {
+    import graft.pipeline.Dedup.{idNum, idStr, saltedBucketPairs}
+    val width = 64 / simhashBlocks
     val sigs = corpus.select(col("image_id"), col("phash"),
       tokenNgramStrings(col("caption"), 1).as("toks"))
       .withColumn("sh", simhash64Md5(hashes63(col("toks"))))
+      .localCheckpoint() // the walk's hot path re-reads its input filtered to hot buckets
+    // the walk Hamming-filters on the PHASH (mirroring Dedup.candidatesSimhash)
+    // while bucketing on the md5-simhash blocks; `bi·2^width + bv` is injective
     val keyed = sigs
       .select(col("image_id"), col("phash"),
         explode(contiguousBlocks(col("sh"), simhashBlocks)).as("blk"))
-      .select(col("image_id"), col("phash"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
-    val cand = keyed.select(col("bi"), col("bv"), col("image_id").as("id_a"), col("phash").as("ph_a"))
-      .join(keyed.select(col("bi"), col("bv"), col("image_id").as("id_b"), col("phash").as("ph_b")),
-        Seq("bi", "bv"))
-      .where(col("id_a") < col("id_b") &&
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= ht)
-      .select("id_a", "id_b").distinct()
+      .select(idNum(col("image_id")).as("id"), col("phash"),
+        (col("blk.bi").cast("long") * (1L << width) + col("blk.bv")).as("bv"))
+    val cand = saltedBucketPairs(keyed, ht, hotThreshold, saltChunks)
+      .select(idStr(col("id_a")).as("id_a"), idStr(col("id_b")).as("id_b"))
     confirmTokens(cand, sigs.select(col("image_id"), col("phash"), col("toks")), ht, tau)
   }
 

@@ -49,8 +49,8 @@ object Dedup {
   val defaultConfig: Config = Config()
 
   /** "img_%010d" ⇄ numeric surrogate. */
-  private def idNum(c: Column): Column = substring(c, 5, 10).cast("bigint")
-  private def idStr(c: Column): Column = format_string("img_%010d", c)
+  private[graft] def idNum(c: Column): Column = substring(c, 5, 10).cast("bigint")
+  private[graft] def idStr(c: Column): Column = format_string("img_%010d", c)
 
   /** once-per-row prep: numeric id, phash, sorted token-hash set. */
   private[pipeline] def prepared(corpus: DataFrame): DataFrame =
@@ -99,8 +99,17 @@ object Dedup {
     * pairs) fall through to a terminal salt-and-replicate self-join fanned
     * across `saltChunks` tasks. All branches emit exactly the
     * Hamming-filtered per-bucket cross product — correctness unchanged,
-    * verified by SaltingSpec and the DuckDB oracle gate. */
-  private[pipeline] def saltedBucketPairs(keyed: DataFrame, maxHamming: Int,
+    * verified by SaltingSpec and the DuckDB oracle gate.
+    *
+    * ALL-PAIRS mode (`maxHamming >= 64`, see [[saltedAllPairs]]): the
+    * Hamming predicate passes every pair, turning the walk into a
+    * skew-hardened in-bucket cross product — the candidate generator the
+    * doc LSH channels need (their confirm predicate lives downstream over
+    * token sets the walk never sees). The pigeonhole refinement pass is a
+    * no-op there (no signature to re-key by), so hot buckets route STRAIGHT
+    * to the terminal salt-and-replicate join — output-bound fan-out across
+    * `saltChunks` tasks, the StreamingDedup.SaltChunks pattern. */
+  private[graft] def saltedBucketPairs(keyed: DataFrame, maxHamming: Int,
       hotThreshold: Int, saltChunks: Int): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
@@ -140,8 +149,32 @@ object Dedup {
           .select(col("id_b")).as[Long].collect()
       (hotBvs, deduped.where(col("id_a") =!= Long.MinValue))
     }
+    // the terminal salt-and-replicate self-join over a (bv, id, phash) frame
+    // of pair-dense buckets: each bucket's full Hamming-filtered cross
+    // product, fanned across `saltChunks` tasks (work is output-bound)
+    def denseSaltedJoin(dense: DataFrame): DataFrame = {
+      val denseLeft = dense
+        .select(col("bv"), col("id").as("id_a"), col("phash").as("phash_a"),
+          pmod(col("id"), lit(saltChunks.toLong)).as("salt"))
+      val denseRight = dense
+        .select(col("bv"), col("id").as("id_b"), col("phash").as("phash_b"),
+          explode(sequence(lit(0L), lit(saltChunks.toLong - 1))).as("salt"))
+      // the dense self-join sides are the same order of magnitude — force a
+      // shuffled hash join so Catalyst never tries to broadcast-build them
+      denseLeft.hint("shuffle_hash").join(denseRight, Seq("bv", "salt"))
+        .where(col("id_a") < col("id_b") &&
+          bit_count(col("phash_a").bitwiseXOR(col("phash_b"))) <= maxHamming)
+        .select("id_a", "id_b")
+    }
     val (hotBvs, small) = runWalk(keyed)
     if (hotBvs.isEmpty) return small
+    if (maxHamming >= 64) {
+      // all-pairs mode: no signature to pigeonhole-refine by — every hot
+      // bucket is pair-dense by definition (its output IS the cross
+      // product), so skip the refinement pass and fan it out directly
+      val dense = keyed.where(col("bv").isInCollection(hotBvs)).localCheckpoint()
+      return small.union(denseSaltedJoin(dense)).distinct()
+    }
     // Hot path: bucket sizes for POPULAR band values grow ∝ corpus size, so
     // any raw per-bucket cross product is quadratic in N (measured at sf1:
     // 249 hot buckets, 7.1M members, 142e9 raw pairs — 62× the sf0.1 walk
@@ -170,20 +203,22 @@ object Dedup {
     // fans each such cluster across `saltChunks` tasks; the work is
     // output-bound, not an avoidable cross product.
     val dense = refined.where(col("bv").isInCollection(denseBvs)).localCheckpoint()
-    val denseLeft = dense
-      .select(col("bv"), col("id").as("id_a"), col("phash").as("phash_a"),
-        pmod(col("id"), lit(saltChunks.toLong)).as("salt"))
-    val denseRight = dense
-      .select(col("bv"), col("id").as("id_b"), col("phash").as("phash_b"),
-        explode(sequence(lit(0L), lit(saltChunks.toLong - 1))).as("salt"))
-    // the dense self-join sides are the same order of magnitude — force a
-    // shuffled hash join so Catalyst never tries to broadcast-build them
-    val densePairs = denseLeft.hint("shuffle_hash").join(denseRight, Seq("bv", "salt"))
-      .where(col("id_a") < col("id_b") &&
-        bit_count(col("phash_a").bitwiseXOR(col("phash_b"))) <= maxHamming)
-      .select("id_a", "id_b")
-    small.union(small2).union(densePairs).distinct()
+    small.union(small2).union(denseSaltedJoin(dense)).distinct()
   }
+
+  /** Skew-hardened in-bucket ALL-PAIRS generation over an LSH-keyed frame
+    * `(id, phash, bv)` — [[saltedBucketPairs]] in all-pairs mode (the
+    * `phash` column is carried but never filters; pass the row's signature
+    * or `lit(0L)`). The candidate stage of the doc LSH channels: one wide
+    * shuffle, streaming run-walk for the common case, hot buckets (the
+    * boilerplate-text regime, where one band value's membership grows ∝
+    * corpus size) fan out through the terminal salt-and-replicate join
+    * instead of serializing one task or materializing a skewed self-join
+    * partition. Output = exactly the distinct per-bucket cross product
+    * (DocOpsSpec planted-boilerplate case). */
+  private[graft] def saltedAllPairs(keyed: DataFrame,
+      hotThreshold: Int = 1 << 12, saltChunks: Int = 16): DataFrame =
+    saltedBucketPairs(keyed, maxHamming = 64, hotThreshold, saltChunks)
 
   /** Streaming walk of bv-sorted rows: buffers one bucket run at a time
     * (bounded by `hotThreshold`), emits its Hamming-filtered pairs, skips

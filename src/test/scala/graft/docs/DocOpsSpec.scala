@@ -66,6 +66,81 @@ class DocOpsSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("planted boilerplate hot bucket: minhash channel pair set invariant under salting") {
+    // the 100-TB text regime the verdict flagged: boilerplate puts hundreds
+    // of near-identical docs into ONE band bucket. hotThreshold=32 forces
+    // every boilerplate bucket through the terminal salt-and-replicate path;
+    // the pair set must equal both the unsalted walk and brute-force jaccard
+    // (mirrors SaltingSpec on the image side).
+    import spark.implicits._
+    val boiler = "terms of service apply to all users and all content on this site always"
+    val hot = (0 until 150).map(i => (i.toLong, boiler))
+    val churn = (150 until 180).map(i => (i.toLong, boiler + s" extra${i % 3}"))
+    val g = new scala.util.Random(11)
+    val cold = (200 until 240).map(i =>
+      (i.toLong, (0 until 14).map(_ => s"w${g.nextInt(5000)}").mkString(" ")))
+    val all = hot ++ churn ++ cold
+    val d = all.toDF("doc_id", "text")
+    val salted = DocOps.minhashDupPairs(d, 3, 0.6, hotThreshold = 32, saltChunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = DocOps.minhashDupPairs(d, 3, 0.6, hotThreshold = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = all.map { case (id, t) =>
+      id -> graft.sketch.Shingles.tokenNgrams(t, 3).toSet }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.6
+    } yield (ia, ib)).toSet
+    assert(brute.size >= 150 * 149 / 2) // the boilerplate block is really pair-dense
+    assert(salted === unsalted,
+      s"salting diff: missing=${(unsalted -- salted).size} extra=${(salted -- unsalted).size}")
+    // LSH recall on identical/near-identical docs is 1.0: every pair here
+    // shares whole bands, so the walk output must equal brute force exactly
+    assert(salted === brute,
+      s"vs brute: missing=${(brute -- salted).size} extra=${(salted -- brute).size}")
+  }
+
+  test("planted boilerplate hot bucket: simhash channel == brute force under salting") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact the administrator for removal requests today"
+    val hot = (0 until 120).map(i => (i.toLong, boiler))
+    val g = new scala.util.Random(13)
+    val cold = (200 until 260).map(i =>
+      (i.toLong, (0 until 14).map(_ => s"w${g.nextInt(5000)}").mkString(" ")))
+    val d = (hot ++ cold).toDF("doc_id", "text")
+    val sigs = d.select(col("doc_id"),
+      graft.spark.functions.simhash64(graft.spark.functions.token_ngrams(col("text"), 3)).as("sh"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val salted = DocOps.simhashDupPairs(d, 3, 3, hotThreshold = 32, saltChunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 120 * 119 / 2)
+    assert(salted === brute,
+      s"vs brute: missing=${(brute -- salted).size} extra=${(salted -- brute).size}")
+  }
+
+  test("md5 twins: pair sets invariant under forced hot-bucket salting") {
+    import spark.implicits._
+    val boiler = "standard license text shared verbatim across the corpus for testing"
+    val hot = (0 until 100).map(i => (i.toLong, boiler))
+    val g = new scala.util.Random(17)
+    val cold = (200 until 240).map(i =>
+      (i.toLong, (0 until 12).map(_ => s"w${g.nextInt(5000)}").mkString(" ")))
+    val d = (hot ++ cold).toDF("doc_id", "text")
+    val mh = graft.oracle.Md5Channels
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(mh.docMinhashDupPairsMd5(d, hotThreshold = 32, saltChunks = 4))
+      === pairs(mh.docMinhashDupPairsMd5(d, hotThreshold = 1 << 12)))
+    assert(pairs(mh.docSimhashDupPairsMd5(d, hotThreshold = 32, saltChunks = 4))
+      === pairs(mh.docSimhashDupPairsMd5(d, hotThreshold = 1 << 20)))
+  }
+
   test("language id: detects natural-language samples, und for noise") {
     import spark.implicits._
     val samples = Seq(
