@@ -634,14 +634,20 @@ object Dedup {
     confirm(candidatesFromBands(banded, cfg), corpus, cfg).select("id_a", "id_b")
   }
 
-  /** connected components by iterative min-label propagation over the edge
-    * list (the distributed union-find of SURVEY.md §4.2): labels converge in
-    * O(log diameter) rounds; each round is one shuffle; `localCheckpoint`
-    * cuts lineage. Only vertices that appear in an edge participate in the
-    * loop — singletons (the vast majority in a dedup workload) are appended
-    * unlabeled-as-themselves at the end, so per-round work is proportional
-    * to the duplicate subgraph, not the corpus. */
-  def clusters(edges: DataFrame, vertices: DataFrame, maxIter: Int = 20,
+  /** connected components over the edge list (the distributed union-find of
+    * SURVEY.md §4.2): min-label propagation WITH per-round pointer jumping
+    * (`label ← label(label)`), which converges in O(log diameter) rounds —
+    * plain one-hop propagation is O(diameter), and dedup graphs contain
+    * drift-chains (A≈B≈C≈…) whose diameter grows with cluster size, so the
+    * hop-only loop is exactly the path that degrades at scale. Each round is
+    * two shuffle joins; `localCheckpoint` cuts lineage. Only vertices that
+    * appear in an edge participate in the loop — singletons (the vast
+    * majority in a dedup workload) are appended unlabeled-as-themselves at
+    * the end, so per-round work is proportional to the duplicate subgraph,
+    * not the corpus. Throws if `maxIter` rounds do not converge (silently
+    * emitting unconverged labels would corrupt downstream dedup); at the
+    * default 50 that needs a component diameter past ~2^49. */
+  def clusters(edges: DataFrame, vertices: DataFrame, maxIter: Int = 50,
       localThreshold: Long = clustersLocalThreshold()): DataFrame = {
     val e = edges.select(idNum(col("id_a")).as("src"), idNum(col("id_b")).as("dst"))
       .localCheckpoint()
@@ -650,9 +656,28 @@ object Dedup {
     // latency-bound propagation rounds don't drown in task overhead
     val nEdges = e.count()
     if (nEdges <= localThreshold) return clustersLocal(e, vertices)
-    val parts = math.max(2, math.min(
-      vertices.sparkSession.sparkContext.defaultParallelism,
-      (nEdges / 250000L).toInt + 1))
+    val labels = propagateLabels(e, maxIter,
+      math.max(2, math.min(
+        vertices.sparkSession.sparkContext.defaultParallelism,
+        (nEdges / 250000L).toInt + 1)))._1
+    val verts = vertices.select(idNum(col("image_id")).as("vid"))
+    val all = verts.join(labels, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("label"), col("vid")).as("label"))
+    all.select(idStr(col("vid")).as("image_id"), idStr(col("label")).as("cluster_id"))
+  }
+
+  /** Distributed label loop over numeric edges `(src, dst)`. Returns the
+    * converged `(vid, label)` frame and the round count (spec-asserted:
+    * a planted 10k-vertex chain converges in ~15 rounds, not 10k).
+    *
+    * Round = (1) one-hop neighbor-min propagate; (2) pointer jump
+    * `label ← label(label)` — sound because a label is always the vid of a
+    * member of the same component (inductively: labels start as own vids and
+    * only ever travel along edges or to a labelled member's own label), and
+    * monotone because labels only decrease. The jump doubles how far
+    * information has travelled each round (reach r → ≥ 2r+1), hence the
+    * logarithmic bound; the component minimum is a fixpoint of both steps. */
+  private[graft] def propagateLabels(e: DataFrame, maxIter: Int, parts: Int): (DataFrame, Int) = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("src")).localCheckpoint()
     var labels = sym.select(col("src").as("vid")).distinct()
@@ -666,19 +691,28 @@ object Dedup {
         .groupBy(col("src"))
         .agg(min(col("label")).as("nlabel"))
         .withColumnRenamed("src", "vid")
-      val updated = labels
+      val hopped = labels
         .join(neighborMin, Seq("vid"), "left")
         .select(col("vid"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jump: follow the label's own (hopped) label. The jump target
+      // set is keyed by vid, so rename and left-join; a label pointing at a
+      // vertex outside the frame cannot happen (labels are member vids).
+      val jumped = hopped
+        .join(hopped.select(col("vid").as("label"), col("label").as("jlabel")),
+          Seq("label"), "left")
+        .select(col("vid"), col("old"),
+          least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = updated.where(col("label") < col("old")).isEmpty
-      labels = updated.drop("old")
+      converged = jumped.where(col("label") < col("old")).isEmpty
+      labels = jumped.drop("old")
       iter += 1
     }
-    val verts = vertices.select(idNum(col("image_id")).as("vid"))
-    val all = verts.join(labels, Seq("vid"), "left")
-      .select(col("vid"), coalesce(col("label"), col("vid")).as("label"))
-    all.select(idStr(col("vid")).as("image_id"), idStr(col("label")).as("cluster_id"))
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds — " +
+          "component diameter exceeds 2^rounds; raise maxIter")
+    (labels, iter)
   }
 
   /** Driver-memory-scaled cap for the [[clustersLocal]] fast path, instead
