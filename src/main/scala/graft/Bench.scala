@@ -119,6 +119,12 @@ object Bench {
     // OOM'd a 24g heap mid-suite. A fresh session drops every cached block;
     // JIT/codegen warmth is JVM-wide, so the per-query sf0.001 warmup below
     // still pays for first-compilation outside the timed run.
+    // WARM BEST-OF-2 per query: one cold-disk/noisy-window pass corrupted the
+    // round-3 published table (img_decode_meta 36.45 s vs 18.83 s warm on the
+    // same corpus in the same round). VM noise is one-sided — a run is only
+    // ever slower than the job's true cost — so the minimum of two timed runs
+    // in the same warm session is the faithful per-query estimate (same rule
+    // the scaling protocol and BENCH/SCALE.md's decode leg already use).
     val skipHeadline = sys.env.get("SPARK_GRAFT_HEADLINE").contains("0")
     val headlineNames = if (skipHeadline) Seq.empty[String] else headline
     val queryTimes = headlineNames.flatMap { name =>
@@ -126,11 +132,10 @@ object Bench {
         val s1 = session(cpus)
         s1.sparkContext.setLogLevel("WARN")
         try { fn(s1, "/root/testdata/sf0.001").count() } catch { case _: Throwable => }
-        val t0 = System.nanoTime()
-        val ok = try { fn(s1, sfDir).count(); true } catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val walls = try { bestOf(2) { fn(s1, sfDir).count() } }
+          catch { case _: Throwable => Seq.empty[Double] }
         s1.stop()
-        name -> (if (ok) dt else -1.0) // -1 marks a failed query, never a time
+        name -> (if (walls.nonEmpty) walls.min else -1.0) // -1 marks a failed query, never a time
       }
     }
 
@@ -213,12 +218,10 @@ object Bench {
            |runs, so a noisy window can only UNDER-report scaling
            |efficiency, never inflate it.
            |Round-over-round ABSOLUTE walls are dominated by that drift, not
-           |code: a same-window A/B on one host ran the round-2 code and the
-           |round-3 code back-to-back on the identical sf0.1 corpus (32
-           |cores, best-of-2) and measured 46.3 s vs 38.1 s — the round-3
-           |code is ~18% faster, while the same round-2 code had recorded
-           |22.9 s in its own (quieter) measurement window. Compare
-           |efficiency ratios across rounds, not absolute throughput.
+           |code — compare efficiency ratios across rounds, not absolute
+           |throughput; for a code-vs-code claim run both commits
+           |back-to-back in the same window (protocol + one dated example in
+           |README.md "Cross-round comparisons").
            |Shuffle partitions are pinned to 32 at every level: a cluster
            |sizes partitions to the data, not the executor count, so varying
            |them with cores would conflate per-partition memory effects with
@@ -237,6 +240,10 @@ object Bench {
            |included for transparency together with absolute throughput.
            |
            |## Headline query wall times (local[$cpus], sf dir $sfDir)
+           |
+           |Warm best-of-2 per query (fresh session per query; an sf0.001
+           |warmup pass pays JIT/codegen compilation outside the timed runs;
+           |min of two timed runs — VM noise is one-sided).
            |
            || query | seconds |
            ||---|---|
