@@ -37,6 +37,14 @@ object SparkEntry {
     * any larger scale — cost O(budget · N), never O(N²). */
   private val ExactQueryBudget = 500
 
+  // embed_knn_lsh_md5 twin config: 2 tables × 4 planes over the 64-dim
+  // driver-gate embeddings — few enough buckets that candidates are dense
+  // (the join/dedup machinery does real work) while still a genuine
+  // approximate (multi-bucket) configuration
+  private val LshTwinTables = 2
+  private val LshTwinPlanes = 4
+  private val LshTwinDim = 64
+
   /** oracle path of the materialized corpus for a given sf dir. */
   private def corpusGlob(sf: String): String =
     s"read_parquet('/root/repo/gendata/images_$sf.parquet/*.parquet')"
@@ -258,6 +266,17 @@ object SparkEntry {
     // re-score machinery rows+schema+hash
     "embed_knn_ivf_exactcfg" -> ((s, dir) =>
       Ann.ivfTopK(embeds(s, dir), 10, centroids = 16, nprobe = 16,
+        queryFilter = col("vec_id") < ExactQueryBudget).orderBy("query_id", "rank")),
+
+    // LSH code path, oracle-gated (the md5-twin pattern): the SAME
+    // explode/collision-join/dedup/re-score/top-k pipeline as embed_knn_lsh,
+    // with hyperplanes from a deterministic md5 ±1 matrix whose values are
+    // embedded verbatim as literals in the DuckDB SQL — both engines bucket
+    // on identical planes, so the full approximate output (not just a
+    // degeneracy) matches rows+schema+hash
+    "embed_knn_lsh_md5" -> ((s, dir) =>
+      Ann.hyperplaneLshTopKLiteral(embeds(s, dir), 10,
+        Ann.md5SignMatrix(LshTwinTables, LshTwinPlanes, LshTwinDim),
         queryFilter = col("vec_id") < ExactQueryBudget).orderBy("query_id", "rank")),
 
     // ---- event-time analytics (events table) ----
@@ -687,6 +706,8 @@ object SparkEntry {
 
       "embed_knn_ivf_exactcfg" -> embedKnnSql,
 
+      "embed_knn_lsh_md5" -> embedKnnLshTwinSql,
+
       "embed_dup_pairs" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embT)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -725,6 +746,42 @@ object SparkEntry {
        |      FROM s)
        |SELECT query_id, neighbor_id, rank::INT AS rank, sim FROM r
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** full-fidelity LSH oracle SQL: reproduces the hyperplane buckets (same
+    * md5 ±1 sign matrix as the Spark twin, embedded as literals — the sign
+    * values are data-independent constants, the same trust level as the
+    * xor-permutation seeds of the MinHash twins), the any-table collision
+    * join, candidate dedup, exact re-score, and top-k. */
+  private def embedKnnLshTwinSql: String = {
+    val signs = Ann.md5SignMatrix(LshTwinTables, LshTwinPlanes, LshTwinDim)
+    def bucketExpr(t: Int): String =
+      signs(t).zipWithIndex.map { case (plane, p) =>
+        val arr = plane.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]::DOUBLE[]")
+        s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val tableCols = (0 until LshTwinTables)
+      .map(t => s"${bucketExpr(t)} AS b$t").mkString(",\n       ")
+    val collide = (0 until LshTwinTables).map(t => s"q.b$t = n.b$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embT),
+       |b AS (SELECT vec_id, v,
+       |       $tableCols
+       |      FROM e),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+       |         FROM b q JOIN b n ON n.vec_id != q.vec_id AND ($collide)
+       |         WHERE q.vec_id < $ExactQueryBudget),
+       |s AS (SELECT c.query_id, c.neighbor_id,
+       |        round(list_dot_product(q.v, n.v) /
+       |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
+       |      FROM cand c
+       |      JOIN e q ON q.vec_id = c.query_id
+       |      JOIN e n ON n.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, rank::INT AS rank, sim FROM r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   private def docsT = "read_parquet('/root/testdata/sf0.01/documents.parquet')"
   private def embT = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"

@@ -176,9 +176,48 @@ object Ann {
   def hyperplaneLshTopK(emb: DataFrame, k: Int = 10, tables: Int = 8, planes: Int = 12,
       queryFilter: Column = lit(true)): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    lshTopKImpl(emb, k, tables, queryFilter,
+      t => hyperplaneSignBits(col("v"), t, planes, dim))
+  }
+
+  /** deterministic ±1.0 hyperplane matrix (tables × planes × dim) from MD5
+    * (component (t,p,j) = +1 iff md5("hp:t:p:j") low hex digit is even) —
+    * the cross-engine sign source of the oracle-gated twin: the SAME values
+    * are embedded as SQL literals in `SparkEntry.oracleSql`, so both engines
+    * bucket on identical hyperplanes and the whole LSH output (buckets →
+    * collision join → re-score → top-k) is reproducible rows+schema+hash. */
+  def md5SignMatrix(tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, planes, dim) { (t, p, j) =>
+      val b = digest.digest(s"hp:$t:$p:$j".getBytes("UTF-8"))
+      if ((b(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** the oracle-gated LSH twin: identical pipeline to [[hyperplaneLshTopK]]
+    * (same explode/collision-join/dedup/re-score/top-k code), with sign bits
+    * from an explicit literal hyperplane matrix (see [[md5SignMatrix]])
+    * instead of the inline xxhash64 planes, so an independent SQL engine
+    * reproduces the buckets. Sign bit = (v · plane ≥ 0): the products are
+    * exact sign flips of the input doubles and both engines sum
+    * left-to-right, so the bucket keys match bit-for-bit. */
+  def hyperplaneLshTopKLiteral(emb: DataFrame, k: Int,
+      signs: Array[Array[Array[Double]]], queryFilter: Column = lit(true)): DataFrame =
+    lshTopKImpl(emb, k, signs.length, queryFilter, { t =>
+      signs(t).zipWithIndex.map { case (plane, p) =>
+        val pv = array(plane.map(lit(_)): _*)
+        when(gf.vec_dot(col("v"), pv) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    })
+
+  /** shared LSH pipeline: bucket each vector in `tables` sign tables
+    * (`bucketBits(t)` = the table-t bucket key over column `v`), join bucket
+    * collisions per table, dedup candidate pairs, exact re-score, top-k. */
+  private def lshTopKImpl(emb: DataFrame, k: Int, tables: Int,
+      queryFilter: Column, bucketBits: Int => Column): DataFrame = {
     val base = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
     val keyed = base.withColumn("tk", explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), hyperplaneSignBits(col("v"), t, planes, dim).as("b"))
+        struct(lit(t).as("t"), bucketBits(t).as("b"))
       }: _*)))
       .select(col("vec_id"), col("v"), col("tk.t").as("t"), col("tk.b").as("b"))
     val queries = keyed.where(queryFilter)
