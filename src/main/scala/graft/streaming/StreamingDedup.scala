@@ -41,6 +41,47 @@ object StreamingDedup {
     * tasks instead of one. */
   val SaltChunks = 8
 
+  /** per-bucket file-count compaction threshold: once a bucket directory
+    * accumulates more than this many parquet files, the bucket is rewritten
+    * as one file. Without this, long-running ingest appends one file per
+    * micro-batch per writing task forever, and every later batch that
+    * touches the bucket pays ever-growing listing + open cost. */
+  val CompactAfterFiles = 8
+
+  private def bucketDataFiles(dir: java.io.File): Array[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+
+  /** rewrite one over-threshold bucket directory down to a single file.
+    * Crash-safe WITHOUT a manifest, by write-then-delete ordering: the
+    * compacted file is fully written and moved into the bucket directory
+    * BEFORE any input file is deleted, so a crash at any point leaves the
+    * bucket's row multiset a SUPERSET of the true data. Duplicate index
+    * rows are harmless to the pair output (each batch's confirm ends in
+    * `distinct()`, and ids are unique per row so a duplicated index row can
+    * only re-produce the same pair); LOST rows would silently drop pairs —
+    * hence this ordering rather than an in-place overwrite. foreachBatch is
+    * a single serial writer, so there is no concurrent-reader window. */
+  private def compactBucket(spark: SparkSession, indexDir: String, bucket: Int): Unit = {
+    val dir = new java.io.File(indexDir, s"bucket=$bucket")
+    val olds = bucketDataFiles(dir)
+    if (olds.length <= CompactAfterFiles) return
+    val tmp = new java.io.File(indexDir,
+      s".compact-bucket-$bucket-${java.util.UUID.randomUUID()}")
+    // read exactly the listed snapshot of files (never the moved-in result)
+    spark.read.parquet(olds.map(_.getPath).toIndexedSeq: _*)
+      .coalesce(1).write.parquet(tmp.getPath)
+    tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { p =>
+      java.nio.file.Files.move(p.toPath,
+        new java.io.File(dir, p.getName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    olds.foreach(_.delete())
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    tmp.delete()
+  }
+
   /** run the incremental pipeline over a parquet-backed stream.
     * Returns the started query; results accumulate under `outDir/dup_pairs`,
     * the LSH index under `outDir/index` (hash-partitioned by band-key
@@ -70,18 +111,18 @@ object StreamingDedup {
           .localCheckpoint()
 
         val haveIndex = new java.io.File(indexDir, "_SUCCESS").exists()
-        // collect the batch's bucket set (bounded: <= IndexBuckets values)
-        // and push it as a PARTITION filter — the index read then lists and
-        // scans only colliding bucket directories instead of re-shuffling
-        // the whole accumulated index every micro-batch
+        // the batch's bucket set (bounded: <= IndexBuckets values) — pushed
+        // as a PARTITION filter on the index read, and the compaction scope
+        // after the append (only touched buckets can have grown)
+        val batchBuckets = keyed.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        // the index read then lists and scans only colliding bucket
+        // directories instead of re-shuffling the whole accumulated index
+        // every micro-batch
         val oldIndex =
           if (!haveIndex) null
-          else {
-            val batchBuckets = keyed.select("bucket").distinct()
-              .collect().map(_.getInt(0)).toSeq
-            spark.read.parquet(indexDir)
-              .where(col("bucket").isInCollection(batchBuckets))
-          }
+          else spark.read.parquet(indexDir)
+            .where(col("bucket").isInCollection(batchBuckets))
 
         // pair order must be normalized with least/greatest: a NEW row's id
         // can be on either side of an OLD row's id, so `id_a < id_b` on the
@@ -127,6 +168,9 @@ object StreamingDedup {
         // spec)
         keyed.select("bucket", "bv", "id", "phash", "tok")
           .write.mode("append").partitionBy("bucket").parquet(indexDir)
+        // size-triggered compaction of the buckets this batch grew: keeps
+        // per-bucket file count bounded over an unbounded ingest
+        batchBuckets.foreach(b => compactBucket(spark, indexDir, b))
         ()
       }
       .start()

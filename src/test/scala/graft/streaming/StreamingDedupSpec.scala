@@ -58,6 +58,48 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"no partition filter on bucket in plan:\n${planStr.take(800)}")
   }
 
+  test("~20 micro-batches: per-bucket index file count stays bounded, pair set unchanged") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val corpus = spark.createDataset(
+      (0L until 250L).flatMap(fid => SyntheticImages.family(fid, 42L, fid * 8))).toDF()
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-cpt-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("stream-cpt-out").toString
+    // 80 input files → 20 micro-batches (maxFilesPerTrigger=4): without
+    // compaction, hot buckets accumulate ~20×(files/batch) parquet files
+    corpus.repartition(80).write.mode("overwrite").parquet(srcDir)
+
+    val q = StreamingDedup.start(spark, srcDir, outDir)
+    q.processAllAvailable()
+    q.stop()
+
+    // bounded: any bucket past CompactAfterFiles is rewritten right after
+    // the append that grew it, so no bucket ever ends above the threshold
+    val bucketDirs = new java.io.File(s"$outDir/index").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    val counts = bucketDirs.map(d => d.getName ->
+      d.listFiles().count(f => f.getName.endsWith(".parquet")))
+    val worst = counts.maxBy(_._2)
+    assert(worst._2 <= StreamingDedup.CompactAfterFiles,
+      s"bucket ${worst._1} has ${worst._2} files after compaction")
+
+    // lossless: compaction must not drop index rows — one row per (id, band)
+    val indexRows = spark.read.parquet(s"$outDir/index").count()
+    assert(indexRows === corpus.count() * Dedup.defaultConfig.bands,
+      "index row count != rows × bands: compaction lost or duplicated rows")
+
+    // unchanged output: the streamed pair set still matches the batch channel
+    val got = spark.read.parquet(s"$outDir/dup_pairs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = Dedup.confirm(Dedup.candidatesMinhash(Dedup.signatures(corpus)), corpus)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.subsetOf(batch), s"extra pairs: ${(got -- batch).take(5)}")
+    val recall = got.intersect(batch).size.toDouble / batch.size
+    assert(recall >= 0.99, s"streaming recall $recall (${got.size} vs ${batch.size})")
+  }
+
   test("planted hot cluster: salted confirm join keeps the exact pair set") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
