@@ -182,7 +182,16 @@ object ScaleBench {
           val n = cand.count()
           (n, (System.nanoTime() - t1) / 1e9)
         }
+        val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
         val (nCand, c1) = candOnce()
+        // release run 1's eagerly-checkpointed candidate blocks before run 2
+        // (and before the confirm leg): two ~41M-pair checkpointed sets at
+        // sf1 would otherwise sit in storage memory together until session
+        // stop. Only blocks created BY run 1 are dropped — sigs' checkpoint
+        // predates the snapshot and run 2 still needs it.
+        s.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => persistedBefore(id) }
+          .values.foreach(_.unpersist(blocking = true))
         val candWall = math.min(c1, candOnce()._2)
         val t2 = System.nanoTime()
         val confirmed = Dedup.confirm(cand, corpus, cfg).count()
@@ -230,10 +239,16 @@ object ScaleBench {
         |  (sf0.1 → sf1, normalized to rows); the walk spends ${nsUnitA}%.1f ns/unit
         |  at sf0.1 and ${nsUnitB}%.1f ns/unit at sf1
         |  (ratio ${nsUnitB / nsUnitA}%.2f×). The super-linear wall term in the
-        |  linearity series is dominated by the workload's measured growth;
-        |  any residual per-unit drift at sf1 is the larger-than-cache working
-        |  set of the 10× banded exchange (1.36B rows through one box's DRAM
-        |  and storage pool), not algorithmic blow-up.
+        |  linearity series is dominated by the workload's measured growth.
+        |  Residual per-unit drift has two plausible contributors this
+        |  inventory cannot separate: the larger-than-cache working set of
+        |  the 10× banded exchange (1.36B rows through one box's DRAM and
+        |  storage pool), and the sub-bucket sort's O(n log n) log factor —
+        |  units() counts each sorted element as O(1) while max pHash
+        |  occupancy grows ${a.maxPhashOcc} → ${b.maxPhashOcc} across the
+        |  scales, so part of the drift is the sort's growing log term.
+        |  Neither is a super-linear candidate-volume blow-up (emitted pairs
+        |  and confirmed edges per row stay flat).
         |- **True output stays linear** (confirmed edges per row:
         |  ${a.confirmed.toDouble / a.rows}%.3f → ${b.confirmed.toDouble / b.rows}%.3f), so
         |  downstream stages scale. The sf1 edge set (packed-primitive collect,
