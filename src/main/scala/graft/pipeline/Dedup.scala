@@ -259,7 +259,8 @@ object Dedup {
       val subSortedElems: org.apache.spark.util.LongAccumulator,
       val subChecks: org.apache.spark.util.LongAccumulator,
       val cursorChecks: org.apache.spark.util.LongAccumulator,
-      val emitted: org.apache.spark.util.LongAccumulator) extends Serializable
+      val emitted: org.apache.spark.util.LongAccumulator,
+      val subSortNanos: org.apache.spark.util.LongAccumulator) extends Serializable
 
   private[graft] final class BucketRunPairs(
       rows: Iterator[BandedRow], maxHamming: Int, hotThreshold: Int,
@@ -297,6 +298,7 @@ object Dedup {
     private var cSubChecks = 0L
     private var cCursorChecks = 0L
     private var cEmitted = 0L
+    private var cSubSortNs = 0L
     private var nextPair: PairRow = _
     advance()
 
@@ -376,7 +378,7 @@ object Dedup {
               counters.rows.add(cRows); counters.runs.add(cRuns)
               counters.subRuns.add(cSubRuns); counters.subSortedElems.add(cSubSorted)
               counters.subChecks.add(cSubChecks); counters.cursorChecks.add(cCursorChecks)
-              counters.emitted.add(cEmitted)
+              counters.emitted.add(cEmitted); counters.subSortNanos.add(cSubSortNs)
             }
             nextPair = null; return
           case 1  =>
@@ -399,6 +401,57 @@ object Dedup {
             }
           // small run: loop back into the lazy pair walk
         }
+      }
+    }
+
+    // LSD radix scratch, allocated on first radix-path use (the constructor
+    // calls advance() before later field initializers would run, so an eager
+    // `val` here would still be null inside the first run's sort) and lazily
+    // sized to the largest sub-bucketed run so far (≤ cap = 8 MB); the
+    // 256-counter array is trivially cache-resident
+    private var radixAux: Array[Long] = null
+    private var radixCnt: Array[Int] = null
+
+    /** Sort the packed `(classKey << 20 | member)` run. Class keys are
+      * `floor(63/classes)+1` bits wide; for classes ≥ 4 (≤ 16 key bits —
+      * the shipped Hamming-3 config is 4) a large run takes a 2-pass stable
+      * LSD radix over the key bytes instead of `Arrays.sort`'s O(n log n)
+      * dual-pivot: the comparison sort's log factor grows with run size
+      * (max pHash occupancy 64 → 690 across sf0.1 → sf1, BENCH/SCALE.md),
+      * which was one of the two candidate explanations for the sf1 per-unit
+      * walk drift (VERDICT r3 #4). Stability makes the result IDENTICAL to
+      * `Arrays.sort`: within equal keys the input order is ascending member
+      * index, which is exactly the packed low-bit order (BucketRunPairsSpec
+      * crosses the radix threshold). Small runs and wide keys (classes ≤ 3)
+      * keep `Arrays.sort` — radix's fixed 2×256-counter overhead loses
+      * below ~256 members, and classes ≤ 3 keys exceed the 16 bits two
+      * byte passes cover. */
+    private def sortPacked(packed: Array[Long], classes: Int): Unit = {
+      val n = packed.length
+      if (classes >= 4 && n >= BucketRunPairs.RadixMin) {
+        if (radixAux == null || radixAux.length < n) radixAux = new Array[Long](n)
+        if (radixCnt == null) radixCnt = new Array[Int](256)
+        radixPass(packed, radixAux, n, 20)
+        radixPass(radixAux, packed, n, 28)
+      } else java.util.Arrays.sort(packed)
+    }
+
+    /** one stable counting pass on byte `shift..shift+7` of src into dst. */
+    private def radixPass(src: Array[Long], dst: Array[Long], n: Int, shift: Int): Unit = {
+      val cnt = radixCnt
+      java.util.Arrays.fill(cnt, 0)
+      var i = 0
+      while (i < n) { cnt(((src(i) >>> shift) & 0xffL).toInt) += 1; i += 1 }
+      var sum = 0
+      i = 0
+      while (i < 256) { val c = cnt(i); cnt(i) = sum; sum += c; i += 1 }
+      i = 0
+      while (i < n) {
+        val v = src(i)
+        val d = ((v >>> shift) & 0xffL).toInt
+        dst(cnt(d)) = v
+        cnt(d) += 1
+        i += 1
       }
     }
 
@@ -463,7 +516,9 @@ object Dedup {
         // grouping by the full phash anyway.
         m = 0
         while (m < n) { packed(m) = (keys(off + m) << 20) | m; m += 1 }
-        java.util.Arrays.sort(packed)
+        val tSort = if (counters != null) System.nanoTime() else 0L
+        sortPacked(packed, classes)
+        if (counters != null) cSubSortNs += System.nanoTime() - tSort
         // walk equal-key groups
         var lo = 0
         while (lo < n) {
@@ -513,6 +568,10 @@ object Dedup {
 
     /** initial (and post-dense-run) capacity of the surviving-pair buffers. */
     val InitialPairBuf = 1024
+
+    /** run size at which the 2-pass LSD radix beats `Arrays.sort` (fixed
+      * 2×(256-counter fill + prefix) overhead vs the n log n comparisons). */
+    val RadixMin = 256
 
     /** surviving-pair buffer cap per run (8M pairs = 128 MB of id longs);
       * beyond it the run markers to the salted hot path. */

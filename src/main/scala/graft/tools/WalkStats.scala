@@ -53,7 +53,7 @@ object WalkStats {
         acc.longAccumulator("rows"), acc.longAccumulator("runs"),
         acc.longAccumulator("subRuns"), acc.longAccumulator("subSortedElems"),
         acc.longAccumulator("subChecks"), acc.longAccumulator("cursorChecks"),
-        acc.longAccumulator("emitted"))
+        acc.longAccumulator("emitted"), acc.longAccumulator("subSortNanos"))
       val tWalk = timed {
         keyed.repartition(col("bv")).sortWithinPartitions(col("bv"))
           .as[Dedup.BandedRow]
@@ -65,7 +65,8 @@ object WalkStats {
         f"floor_s=$tFloor%.2f walk_s=$tWalk%.2f inwalk_s=${tWalk - tFloor}%.2f")
       println(s"WALKSTAT sf=$sf runs=${ctrs.runs.value} subRuns=${ctrs.subRuns.value} " +
         s"subSortedElems=${ctrs.subSortedElems.value} subChecks=${ctrs.subChecks.value} " +
-        s"cursorChecks=${ctrs.cursorChecks.value} emitted=${ctrs.emitted.value}")
+        s"cursorChecks=${ctrs.cursorChecks.value} emitted=${ctrs.emitted.value} " +
+        f"subSortCore_s=${ctrs.subSortNanos.value / 1e9}%.2f")
       sigs.unpersist()
       spark.stop()
     }

@@ -81,6 +81,30 @@ class BucketRunPairsSpec extends AnyFunSuite {
     assert(walk(h0, 0, 4096).toSet === brute(h0, 0, 4096))
   }
 
+  test("radix-sorted runs == brute force across the RadixMin threshold") {
+    // runs straddling BucketRunPairs.RadixMin (Arrays.sort below, 2-pass LSD
+    // radix above) with HEAVY class-key duplication — phashes drawn from a
+    // tiny pool so most sub-bucket groups have many members, stressing the
+    // radix passes' stability (within-group member order must stay ascending
+    // for the first-agreeing-class dedup to mirror the sorted walk)
+    val rnd = new scala.util.Random(13)
+    val rm = Dedup.BucketRunPairs.RadixMin
+    for ((runLen, trial) <- Seq(rm - 1, rm, rm + 1, rm * 3).zipWithIndex) {
+      val pool = Array.fill(8)(rnd.nextLong())
+      var id = 0L
+      val rows = (0 until runLen).map { _ =>
+        id += 1
+        val base = pool(rnd.nextInt(pool.length))
+        val flips = rnd.nextInt(6)
+        val ph = (0 until flips).foldLeft(base)((h, _) => h ^ (1L << rnd.nextInt(64)))
+        (1L, id, ph)
+      }
+      val got = walk(rows, 3, 1 << 20).toSet
+      val want = brute(rows, 3, 1 << 20)
+      assert(got === want, s"trial=$trial runLen=$runLen")
+    }
+  }
+
   test("pair-dense big run overflows the buffer and markers to the hot path") {
     val m = Dedup.BucketRunPairs.SubBucketMin
     // 100 identical phashes -> 4950 surviving pairs > the tiny cap
