@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * counterparts of the fast murmur/fmix channels in [[graft.pipeline.Dedup]]
   * / [[graft.docs.DocOps]] — same operator shapes (xor-permutation MinHash,
   * majority-vote SimHash, pigeonhole block LSH, bottom-k estimators,
-  * HLL register math), exchanged-on-short-keys, built ENTIRELY from
-  * codegen'd Spark built-ins (no UDFs).
+  * HLL register math), exchanged-on-short-keys, built from codegen'd Spark
+  * built-ins (no UDFs) plus one codegen'd Catalyst kernel
+  * ([[graft.spark.expr.XorMinMinimaExpr]], byte-identical to its built-ins
+  * formulation by spec).
   *
   * Determinism contract (mirrored in SparkEntry.oracleSql):
   *  - element hash h(s) = (int64)(md5(s)[0:8] hex) << 32 | (md5(s)[8:16] hex);
@@ -43,16 +45,8 @@ object Md5Channels {
 
   /** xor-permutation seeds, computed with the same md5 construction the
     * oracle uses (`h63('perm' || p)`) — JVM MD5 == SQL md5 by definition. */
-  def permSeeds(numPerm: Int): Array[Long] = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-    (0 until numPerm).map { p =>
-      val hex = digest.digest(s"perm$p".getBytes("UTF-8"))
-        .map(b => f"${b & 0xff}%02x").mkString
-      val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-      val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
-      ((hi << 32) | lo) & Long.MaxValue
-    }.toArray
-  }
+  def permSeeds(numPerm: Int): Array[Long] =
+    graft.spark.expr.Kernels.md5PermSeeds(numPerm)
 
   /** distinct whitespace-token n-gram STRINGS (n=1 → token set). */
   def tokenNgramStrings(text: Column, n: Int): Column = {
@@ -70,8 +64,19 @@ object Md5Channels {
   /** 63-bit md5 hashes of a string-array column. */
   def hashes63(grams: Column): Column = transform(grams, g => md5half63(g))
 
-  /** xor-permutation MinHash slot minima (array of numPerm nonneg longs). */
-  def xorMinhashMinima(hs: Column, numPerm: Int): Column = {
+  /** xor-permutation MinHash slot minima (array of numPerm nonneg longs).
+    * Codegen'd one-pass fold (VERDICT r3 #8): the previous formulation built
+    * numPerm full `transform` passes (and intermediate arrays) per row; the
+    * [[graft.spark.expr.XorMinMinimaExpr]] kernel computes the same numPerm
+    * minima in ONE traversal of the hash array — byte-identical to the
+    * built-in formulation (Md5ChannelsSpec) and to the oracle SQL, which
+    * keeps the per-permutation MIN shape. */
+  def xorMinhashMinima(hs: Column, numPerm: Int): Column =
+    graft.spark.functions.xor_min_minima(hs, numPerm)
+
+  /** the built-ins-only formulation of [[xorMinhashMinima]] — the spec twin
+    * the codegen'd kernel is gated byte-identical against. */
+  private[graft] def xorMinhashMinimaBuiltins(hs: Column, numPerm: Int): Column = {
     val seeds = permSeeds(numPerm)
     array((0 until numPerm).map { p =>
       array_min(transform(hs, h => h.bitwiseXOR(lit(seeds(p)))))

@@ -185,6 +185,48 @@ object Kernels {
     regs
   }
 
+  /** md5-derived xor-permutation seeds (`h63("perm" || p)`): the JVM twin of
+    * the oracle SQL's seed derivation — JVM MD5 == SQL md5 by definition. */
+  def md5PermSeeds(numPerm: Int): Array[Long] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](numPerm)
+    var p = 0
+    while (p < numPerm) {
+      val hex = digest.digest(s"perm$p".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      out(p) = ((hi << 32) | lo) & Long.MaxValue
+      p += 1
+    }
+    out
+  }
+
+  /** one-pass xor-permutation minima: out(p) = min over hs of (h XOR
+    * seeds(p)). Fold of the numPerm `array_min(transform(...))` built-in
+    * formulation (byte-identical, incl. the all-null row for empty input —
+    * `array_min` of an empty array is null): one traversal of the hash
+    * array and zero intermediate arrays instead of numPerm of each. */
+  def xorMinMinima(hs: ArrayData, seeds: Array[Long]): ArrayData = {
+    val n = hs.numElements()
+    val p = seeds.length
+    if (n == 0) return new GenericArrayData(new Array[Any](p))
+    val mins = new Array[Long](p)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < p) {
+        val v = h ^ seeds(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   @inline private def npOf(regs: Array[Byte]): Int =
     63 - java.lang.Long.numberOfLeadingZeros(regs.length.toLong)
 

@@ -73,6 +73,27 @@ case class MinHashSigExpr(child: Expression, numPerm: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass xor-permutation MinHash minima over the md5-derived oracle
+  * seeds: the codegen'd fold of [[graft.oracle.Md5Channels.xorMinhashMinima]]'s
+  * numPerm `array_min(transform(...))` passes — byte-identical output
+  * (Md5ChannelsSpec), one traversal instead of numPerm array materializations.
+  * The oracle SQL keeps the per-permutation MIN formulation; only the Spark
+  * side folds. */
+case class XorMinMinimaExpr(child: Expression, numPerm: Int)
+    extends UnaryExpression with KernelCall {
+  @transient private lazy val seeds: Array[Long] = Kernels.md5PermSeeds(numPerm)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "xor_min_minima"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.xorMinMinima(t.asInstanceOf[ArrayData], seeds)
+  def compute(hs: ArrayData): ArrayData = Kernels.xorMinMinima(hs, seeds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("xorMinMinimaExpr", this, classOf[XorMinMinimaExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with KernelCall {
   override def dataType: DataType = LongType

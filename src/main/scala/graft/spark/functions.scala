@@ -31,6 +31,7 @@ object functions {
     c(ContainmentSketchExpr(e(features), factor))
   def contain_jaccard(a: Column, b: Column): Column = c(ContainJaccard(e(a), e(b)))
   def simhash64(features: Column): Column = c(SimHash64Expr(e(features)))
+  def xor_min_minima(hs: Column, numPerm: Int): Column = c(XorMinMinimaExpr(e(hs), numPerm))
   def omh_sketch(text: Column, k: Int = 4, l: Int = 2, m: Int = 64, seed: Long = 32L): Column =
     c(OmhSketchExpr(e(text), k, l, m, seed))
   def cws_sketch(features: Column, sketchSize: Int = 50, numBins: Int = 4096, seed: Long = 1L): Column =

@@ -1,0 +1,56 @@
+package graft.oracle
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Md5ChannelsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("codegen'd xor-min fold == built-ins formulation, byte-identical") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // real text rows (callers filter size >= n before shingling)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("text"))
+    for (numPerm <- Seq(1, 32)) {
+      val hs = Md5Channels.hashes63(Md5Channels.tokenNgramStrings(col("text"), 3))
+      val both = docs.select(
+        col("doc_id"),
+        Md5Channels.xorMinhashMinima(hs, numPerm).as("fold"),
+        Md5Channels.xorMinhashMinimaBuiltins(hs, numPerm).as("builtins"))
+      val bad = both.where(not(col("fold") <=> col("builtins")))
+      assert(bad.isEmpty, s"numPerm=$numPerm: ${bad.count()} mismatching rows")
+      assert(both.count() > 400)
+    }
+    // degenerate hash-array shapes the callers' filters normally exclude:
+    // empty (array_min-of-empty = all-null row), singleton, extreme values
+    val shapes = Seq(
+      Seq.empty[Long], Seq(0L), Seq(Long.MaxValue), Seq(1L, Long.MaxValue, 7L))
+      .toDF("hs")
+    val both = shapes.select(
+      Md5Channels.xorMinhashMinima(col("hs"), 4).as("fold"),
+      Md5Channels.xorMinhashMinimaBuiltins(col("hs"), 4).as("builtins"))
+    assert(both.where(not(col("fold") <=> col("builtins"))).isEmpty)
+  }
+
+  test("kernel survives whole-stage codegen in the full band-key pipeline") {
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hs = Md5Channels.hashes63(Md5Channels.tokenNgramStrings(col("text"), 3))
+    val viaFold = docs.where(size(split(col("text"), " ")) >= 3).select(
+      col("doc_id"),
+      Md5Channels.bandKeysMd5(Md5Channels.xorMinhashMinima(hs, 32), 16, 2).as("bks"))
+    val viaBuiltins = docs.where(size(split(col("text"), " ")) >= 3).select(
+      col("doc_id"),
+      Md5Channels.bandKeysMd5(Md5Channels.xorMinhashMinimaBuiltins(hs, 32), 16, 2).as("bks"))
+    assert(viaFold.exceptAll(viaBuiltins).isEmpty)
+    assert(viaBuiltins.exceptAll(viaFold).isEmpty)
+  }
+}
