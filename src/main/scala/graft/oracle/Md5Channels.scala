@@ -61,8 +61,15 @@ object Md5Channels {
     array_distinct(transform(sequence(lit(1), length(text) - (k - 1)),
       i => substring(text, i, lit(k))))
 
-  /** 63-bit md5 hashes of a string-array column. */
-  def hashes63(grams: Column): Column = transform(grams, g => md5half63(g))
+  /** 63-bit md5 hashes of a string-array column. Codegen'd one-pass kernel
+    * (JVM MD5 over each gram's UTF-8 bytes == the SQL md5-hex parse by
+    * definition), gated byte-identical against the built-ins formulation in
+    * Md5ChannelsSpec; the oracle SQL keeps the md5-hex form. */
+  def hashes63(grams: Column): Column = graft.spark.functions.md5_hashes63(grams)
+
+  /** the built-ins-only formulation of [[hashes63]] — the spec twin. */
+  private[graft] def hashes63Builtins(grams: Column): Column =
+    transform(grams, g => md5half63(g))
 
   /** xor-permutation MinHash slot minima (array of numPerm nonneg longs).
     * Codegen'd one-pass fold (VERDICT r3 #8): the previous formulation built
@@ -92,8 +99,14 @@ object Md5Channels {
     }: _*)
 
   /** majority-vote 64-bit SimHash over md5 hashes (full-range hashes).
-    * Bit b set iff 2·|{h : bit b of h set}| >= |hs|. */
-  def simhash64Md5(hs: Column): Column = {
+    * Bit b set iff 2·|{h : bit b of h set}| >= |hs| (ties UP — mirrored in
+    * the oracle SQL). Codegen'd one-pass kernel, gated byte-identical
+    * against the 64-pass built-ins formulation in Md5ChannelsSpec. */
+  def simhash64Md5(hs: Column): Column =
+    graft.spark.functions.simhash_majority_ge64(hs)
+
+  /** the built-ins-only formulation of [[simhash64Md5]] — the spec twin. */
+  private[graft] def simhash64Md5Builtins(hs: Column): Column = {
     val nGrams = size(hs)
     val bits = (0 until 64).map { b =>
       val cnt = size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))

@@ -227,6 +227,77 @@ object Kernels {
     new GenericArrayData(mins)
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** JVM twin of the oracle's md5half63 column (hex chars 1-8 as the high
+    * 32 bits, 9-16 as the low, sign bit masked): digest bytes 0-7 directly,
+    * no hex-string materialization — JVM MD5 == SQL md5 by definition, and
+    * the hex-substring parse is just these bytes. */
+  def md5Half63(s: UTF8String): Long = {
+    val b = md5Digest.get().digest(s.getBytes)
+    val hi = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+    val lo = ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    ((hi << 32) | lo) & Long.MaxValue
+  }
+
+  /** element-wise [[md5Half63]] over a string array (null elements stay
+    * null, mirroring `transform(grams, md5half63)`). */
+  def md5Hashes63(grams: ArrayData): ArrayData = {
+    val n = grams.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!grams.isNullAt(i)) out(i) = md5Half63(grams.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ties-UP majority-vote 64-bit SimHash (bit set iff 2·ones ≥ n): the md5
+    * oracle twin's rule, distinct from [[graft.sketch.SimHash.simhash64]]'s
+    * strict 2·ones > n. One pass over the hash array — the fold of the
+    * twin's former 64 `size(filter(...))` built-in passes, byte-identical
+    * incl. the empty-input all-bits-set row (2·0 ≥ 0). */
+  def simhashMajorityGe64(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val ones = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (2L * ones(b) >= n) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /** value at the first index where the two long arrays agree, or 0L when
+    * they never do (callers compare against a band key that IS a shared
+    * value, so the no-agreement sentinel can never spuriously match — band
+    * keys mix the band index through fmix64 and 0 is not in the image of
+    * any real collision in practice; a 0-valued band key would merely emit
+    * the pair from its cold buckets as well, never lose it). One scan, no
+    * allocation — the ownership predicate of the first-agreeing-band dedup
+    * in [[graft.pipeline.Dedup]]'s all-pairs dense join. */
+  def firstAgreeKey(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      if (v == b.getLong(i)) return v
+      i += 1
+    }
+    0L
+  }
+
   @inline private def npOf(regs: Array[Byte]): Int =
     63 - java.lang.Long.numberOfLeadingZeros(regs.length.toLong)
 

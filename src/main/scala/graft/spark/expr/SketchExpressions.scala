@@ -160,6 +160,53 @@ case class BandKeysExpr(child: Expression, bands: Int, rows: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Element-wise md5-derived 63-bit hashes of a string array — the codegen'd
+  * fold of the oracle twins' `transform(grams, md5half63)` built-ins chain
+  * (md5 → two hex substrings → conv → shift/or per element), byte-identical
+  * by construction (Md5ChannelsSpec): the hex parse IS digest bytes 0-7. */
+case class Md5Hashes63Expr(child: Expression)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "md5_hashes63"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.md5Hashes63(t.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.md5Hashes63($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Ties-up majority-vote 64-bit SimHash (bit b set iff 2·ones(b) ≥ n) — the
+  * md5 oracle twins' rule, folded from 64 `size(filter(...))` passes into
+  * one traversal (byte-identical, Md5ChannelsSpec). */
+case class SimHashGe64Expr(child: Expression)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_majority_ge64"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.simhashMajorityGe64(t.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.simhashMajorityGe64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Value at the first index where two band-key arrays agree (0L if none) —
+  * the ownership predicate of the first-agreeing-band dedup: a candidate
+  * pair colliding in k of the b LSH bands otherwise enters the distinct
+  * exchange k times (b× for mega-boilerplate clusters hot in every band);
+  * emitting it only from the bucket whose key equals this value makes each
+  * hot-path pair cross the exchange once. */
+case class FirstAgreeKeyExpr(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "first_agree_key"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.firstAgreeKey(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernelsRef.firstAgreeKey($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class SigJaccard(left: Expression, right: Expression)
     extends BinaryExpression with KernelCall {
   override def dataType: DataType = DoubleType

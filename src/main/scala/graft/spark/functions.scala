@@ -32,6 +32,9 @@ object functions {
   def contain_jaccard(a: Column, b: Column): Column = c(ContainJaccard(e(a), e(b)))
   def simhash64(features: Column): Column = c(SimHash64Expr(e(features)))
   def xor_min_minima(hs: Column, numPerm: Int): Column = c(XorMinMinimaExpr(e(hs), numPerm))
+  def first_agree_key(a: Column, b: Column): Column = c(FirstAgreeKeyExpr(e(a), e(b)))
+  def md5_hashes63(grams: Column): Column = c(Md5Hashes63Expr(e(grams)))
+  def simhash_majority_ge64(hs: Column): Column = c(SimHashGe64Expr(e(hs)))
   def omh_sketch(text: Column, k: Int = 4, l: Int = 2, m: Int = 64, seed: Long = 32L): Column =
     c(OmhSketchExpr(e(text), k, l, m, seed))
   def cws_sketch(features: Column, sketchSize: Int = 50, numBins: Int = 4096, seed: Long = 1L): Column =

@@ -40,6 +40,44 @@ class Md5ChannelsSpec extends AnyFunSuite {
     assert(both.where(not(col("fold") <=> col("builtins"))).isEmpty)
   }
 
+  test("codegen'd md5 hashes == built-ins md5-hex parse, byte-identical") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // real corpus grams plus adversarial strings: empty gram, multi-byte
+    // UTF-8 (the kernel must digest the same UTF-8 bytes SQL md5 sees),
+    // whitespace-only, a long gram
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Md5Channels.tokenNgramStrings(col("text"), 3).as("grams"))
+    val weird = Seq(
+      Seq("", "héllo wörld", "ünïcode ßtr", "日本語 テスト", "a" * 500, "  ", "né"),
+      Seq.empty[String]).toDF("grams")
+    for (df <- Seq(real, weird)) {
+      val both = df.select(
+        Md5Channels.hashes63(col("grams")).as("fold"),
+        Md5Channels.hashes63Builtins(col("grams")).as("builtins"))
+      assert(both.where(not(col("fold") <=> col("builtins"))).isEmpty)
+    }
+  }
+
+  test("codegen'd ties-up simhash == 64-pass built-ins majority vote") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Md5Channels.hashes63(
+        Md5Channels.tokenNgramStrings(col("text"), 3)).as("hs"))
+    // degenerate shapes: empty (all 64 bits set under ties-up), singleton,
+    // exact tie (two hashes differing in every bit), sign-bit stress
+    val shapes = Seq(
+      Seq.empty[Long], Seq(0L), Seq(-1L), Seq(0L, -1L),
+      Seq(Long.MinValue, Long.MaxValue, 5L)).toDF("hs")
+    for (df <- Seq(real, shapes)) {
+      val both = df.select(
+        Md5Channels.simhash64Md5(col("hs")).as("fold"),
+        Md5Channels.simhash64Md5Builtins(col("hs")).as("builtins"))
+      assert(both.where(not(col("fold") <=> col("builtins"))).isEmpty)
+    }
+  }
+
   test("kernel survives whole-stage codegen in the full band-key pipeline") {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
