@@ -109,6 +109,24 @@ object DocOps {
   def minhashDupPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.6,
       numPerm: Int = 128, bands: Int = 64, rowsPerBand: Int = 2,
       hotThreshold: Int = 1 << 12, saltChunks: Int = 16): DataFrame = {
+    val cand = minhashCandidates(docs, n, numPerm, bands, rowsPerBand,
+      hotThreshold, saltChunks)
+    val texts = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.toDF("id_a", "text_a"), "id_a")
+      .join(texts.toDF("id_b", "text_b"), "id_b")
+      .where(gf.ngram_jaccard(col("text_a"), col("text_b"), n) >= tau)
+      .select("id_a", "id_b")
+  }
+
+  /** the minhash channel's candidate stage (distinct in-bucket pairs),
+    * exposed for the docskew scale instrument (BENCH/SCALE.md).
+    * `firstAgreeDedup = false` drops the bandsById hand-off so the hot
+    * fan-out reverts to per-bucket emission — the A/B control. */
+  private[graft] def minhashCandidates(docs: DataFrame, n: Int = 3,
+      numPerm: Int = 128, bands: Int = 64, rowsPerBand: Int = 2,
+      hotThreshold: Int = 1 << 12, saltChunks: Int = 16,
+      firstAgreeDedup: Boolean = true): DataFrame = {
     // the banded frame is materialized BEFORE the explode: the walk's hot
     // path re-executes its input filtered to hot buckets, and with the
     // signature inline that re-run would repeat the 128-perm stage over the
@@ -119,15 +137,19 @@ object DocOps {
         gf.minhash_sig(gf.token_ngrams(col("text"), n), numPerm, 42L),
         bands, rowsPerBand).as("bands"))
       .localCheckpoint()
-    val keyed = banded.select(col("id"), lit(0L).as("phash"), explode(col("bands")).as("bv"))
-    val cand = graft.pipeline.Dedup.saltedAllPairs(keyed, hotThreshold, saltChunks)
+    // carrying `bands` on the keyed frame engages the first-agreeing-band
+    // dedup of the hot fan-out: band keys mix the band index
+    // (MinHash.bandKeys), so a bucket's bv IS the shared band value and each
+    // hot pair crosses the distinct exchange once instead of once per
+    // agreeing band; the walk's own select prunes the array off the wide
+    // exchange
+    val keyed =
+      if (firstAgreeDedup)
+        banded.select(col("id"), lit(0L).as("phash"), explode(col("bands")).as("bv"),
+          col("bands"))
+      else banded.select(col("id"), lit(0L).as("phash"), explode(col("bands")).as("bv"))
+    graft.pipeline.Dedup.saltedAllPairs(keyed, hotThreshold, saltChunks)
       .toDF("id_a", "id_b")
-    val texts = docs.select(col("doc_id"), col("text"))
-    cand
-      .join(texts.toDF("id_a", "text_a"), "id_a")
-      .join(texts.toDF("id_b", "text_b"), "id_b")
-      .where(gf.ngram_jaccard(col("text_a"), col("text_b"), n) >= tau)
-      .select("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs: 64-bit SimHash over token n-grams, pigeonhole

@@ -166,6 +166,32 @@ object Dedup {
           bit_count(col("phash_a").bitwiseXOR(col("phash_b"))) <= maxHamming)
         .select("id_a", "id_b")
     }
+    // first-agreeing-band dedup of the all-pairs dense fan-out (engaged when
+    // the caller's keyed frame carries a `bands` column — the walk's select
+    // prunes it off the wide exchange, so only this small dense re-read
+    // materializes the arrays): a pair whose members share k of the b band
+    // keys is otherwise emitted from ALL k of its hot buckets — b× the
+    // distinct-exchange volume for a boilerplate mega-cluster hot in every
+    // band. Each pair is owned by its FIRST agreeing band key; this join
+    // emits it only from the owning bucket (`first_agree_key == bv`).
+    // LOSSLESS: the owning key is a shared band value, so both members sit
+    // in the owning bucket — if that bucket is hot, its own dense join emits
+    // the pair; if cold, the streaming walk already emitted it. The filter
+    // fuses into the join under whole-stage codegen, so suppressed
+    // duplicates never reach the exchange. DocOpsSpec asserts the pair set
+    // against brute force with the dense path forced.
+    def denseFirstAgreeJoin(dense: DataFrame): DataFrame = {
+      val left = dense
+        .select(col("bv"), col("id").as("id_a"), col("bands").as("bands_a"),
+          pmod(col("id"), lit(saltChunks.toLong)).as("salt"))
+      val right = dense
+        .select(col("bv"), col("id").as("id_b"), col("bands").as("bands_b"),
+          explode(sequence(lit(0L), lit(saltChunks.toLong - 1))).as("salt"))
+      left.hint("shuffle_hash").join(right, Seq("bv", "salt"))
+        .where(col("id_a") < col("id_b") &&
+          gf.first_agree_key(col("bands_a"), col("bands_b")) === col("bv"))
+        .select("id_a", "id_b")
+    }
     val (hotBvs, small) = runWalk(keyed)
     if (hotBvs.isEmpty) return small
     if (maxHamming >= 64) {
@@ -173,7 +199,9 @@ object Dedup {
       // bucket is pair-dense by definition (its output IS the cross
       // product), so skip the refinement pass and fan it out directly
       val dense = keyed.where(col("bv").isInCollection(hotBvs)).localCheckpoint()
-      return small.union(denseSaltedJoin(dense)).distinct()
+      val fanned = if (keyed.columns.contains("bands")) denseFirstAgreeJoin(dense)
+        else denseSaltedJoin(dense)
+      return small.union(fanned).distinct()
     }
     // Hot path: bucket sizes for POPULAR band values grow ∝ corpus size, so
     // any raw per-bucket cross product is quadratic in N (measured at sf1:

@@ -71,7 +71,7 @@ object ScaleBench {
       val dir = Paths.get("/root/repo/BENCH/scale_sections")
       Files.createDirectories(dir)
       Files.writeString(dir.resolve(s"$name.md"), out.substring(mark))
-      val body = Seq("linearity", "workload", "decode", "ann", "protocol")
+      val body = Seq("linearity", "workload", "docskew", "decode", "ann", "protocol")
         .map(m => dir.resolve(s"$m.md")).filter(Files.exists(_))
         .map(Files.readString).mkString
       Files.writeString(Paths.get("/root/repo/BENCH/SCALE.md"), header + body)
@@ -273,6 +273,93 @@ object ScaleBench {
         |""".stripMargin
       endSection("workload")
       println(ws.map(w => f"""{"sf":"${w.sf}","rows":${w.rows},"sub_sorted":${w.subSorted},"checks":${w.checks},"emitted":${w.emitted},"candidates":${w.distinctCand},"confirmed":${w.confirmed},"walk_wall_sec":${w.walkWall}%.2f,"sort_core_sec":${w.sortCoreSec}%.2f,"cand_wall_sec":${w.candWall}%.2f}""").mkString("[", ",", "]"))
+    }
+
+    if (mode == "all" || mode == "docskew") {
+      beginSection()
+      // The boilerplate-skew regime the round-3 verdict flagged for the doc
+      // LSH channels, at ~270x the driver-gate doc count: two mega-templates
+      // whose band buckets are hot in every band, a 20k-cluster cold tail,
+      // and 1M noise docs. Three candidate-stage legs over the SAME corpus,
+      // all producing the identical distinct pair set:
+      //   selfjoin   — the pre-round-4 shape (plain band self-join + AQE)
+      //   walk       — salted run-walk, per-bucket hot fan-out
+      //   firstagree — salted run-walk + first-agreeing-band dedup (ships)
+      val spec = graft.data.SyntheticDocs.Spec()
+      locally { // generate once, outside any timed leg
+        val s = Bench.session(32)
+        s.sparkContext.setLogLevel("WARN")
+        try graft.data.SyntheticDocs.ensure(s, "skew", spec).count() finally s.stop()
+      }
+      val hot = 1 << 10 // mega-template buckets carry ~2x this many members
+      case class Leg(name: String, cand: Long, wall: Double, shuffleGB: Double)
+      def leg(name: String)(cand: DataFrame => DataFrame): Leg = {
+        val s = Bench.session(32)
+        s.sparkContext.setLogLevel("WARN")
+        val written = new java.util.concurrent.atomic.AtomicLong()
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        })
+        try {
+          val docs = graft.data.SyntheticDocs.ensure(s, "skew", spec)
+          var n = 0L
+          val t1 = timed { n = cand(docs).count() } // warm (cold parquet + JIT)
+          val b0 = written.get()
+          val t2 = timed { cand(docs).count() }
+          Leg(name, n, math.min(t1, t2), (written.get() - b0) / 1e9)
+        } finally s.stop()
+      }
+      val legs = Seq(
+        leg("selfjoin") { docs =>
+          import org.apache.spark.sql.functions._
+          val keyed = docs.select(col("doc_id").as("id"),
+              graft.spark.functions.band_keys(
+                graft.spark.functions.minhash_sig(
+                  graft.spark.functions.token_ngrams(col("text"), 3), 128, 42L),
+                64, 2).as("bands"))
+            .localCheckpoint()
+            .select(col("id"), explode(col("bands")).as("bv"))
+          keyed.toDF("id_a", "bv").join(keyed.toDF("id_b", "bv"), "bv")
+            .where(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+        },
+        leg("walk")(docs => graft.docs.DocOps.minhashCandidates(
+          docs, hotThreshold = hot, firstAgreeDedup = false)),
+        leg("firstagree")(docs => graft.docs.DocOps.minhashCandidates(
+          docs, hotThreshold = hot)))
+      require(legs.map(_.cand).distinct.size == 1,
+        s"candidate sets diverge: ${legs.map(l => s"${l.name}=${l.cand}")}")
+      out ++= s"## Doc-channel boilerplate skew: candidate stage A/B at ${spec.rows} docs\n\n"
+      out ++= s"Corpus: `SyntheticDocs.Spec()` — ${spec.megaTemplates} mega-templates × " +
+        s"${spec.megaMembers} near-identical members (pairwise 3-gram jaccard ≥ 0.6,\n" +
+        s"band buckets hot in all 64 bands at hotThreshold=$hot), " +
+        s"${spec.smallClusters} cold clusters × ${spec.smallMembers}, ${spec.noise} noise docs.\n" +
+        "All legs emit the IDENTICAL distinct candidate set (asserted). Walls are\n" +
+        "best-of-2 (warm run measured); shuffle GB is the second run's total task\n" +
+        "shuffle-write volume — the metric the first-agreeing-band dedup targets.\n\n"
+      out ++= "| leg | distinct candidates | wall (s) | shuffle write (GB) |\n|---|---|---|---|\n"
+      legs.foreach(l => out ++= f"| ${l.name} | ${l.cand} | ${l.wall}%.2f | ${l.shuffleGB}%.2f |\n")
+      val (sj, wk, fa) = (legs(0), legs(1), legs(2))
+      out ++= f"""
+        |- **selfjoin → walk**: same flood volume by construction (each hot pair
+        |  still emitted once per agreeing band), but the walk streams cold
+        |  buckets with no join build and fans each hot bucket across 16 salted
+        |  tasks instead of leaving it one AQE-split skew partition.
+        |- **walk → firstagree**: the dedup-at-source cut — each hot-path pair
+        |  crosses the distinct exchange once instead of once per agreeing band:
+        |  ${wk.shuffleGB / fa.shuffleGB}%.1f× less shuffle-write volume,
+        |  ${wk.wall / fa.wall}%.2f× faster wall. At a 100 TB web corpus the
+        |  boilerplate share grows with the crawl, so this factor (bounded by
+        |  the band count, 64) is the difference between an exchange sized by
+        |  LSH redundancy and one sized by the true candidate set.
+        |- vs the pre-round-4 self-join shape end to end:
+        |  ${sj.wall / fa.wall}%.2f× faster, ${sj.shuffleGB / fa.shuffleGB}%.1f× less shuffle.
+        |
+        |""".stripMargin
+      endSection("docskew")
+      println(legs.map(l => f"""{"leg":"${l.name}","cand":${l.cand},"wall_sec":${l.wall}%.2f,"shuffle_gb":${l.shuffleGB}%.2f}""").mkString("[", ",", "]"))
     }
 
     if (mode == "all" || mode == "decode") {

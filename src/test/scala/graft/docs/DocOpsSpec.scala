@@ -102,6 +102,33 @@ class DocOpsSpec extends AnyFunSuite {
       s"vs brute: missing=${(brute -- salted).size} extra=${(salted -- brute).size}")
   }
 
+  test("first-agreeing-band dedup: candidate set identical, hot path forced") {
+    // mega-cluster hot in EVERY band plus churn members whose pairs
+    // first-agree at varying band indexes, plus cold clusters whose pairs
+    // the streaming walk (not the dense join) must still emit — the
+    // losslessness claim of the dedup-at-source join, gated directly
+    // against the per-bucket-emission control
+    import spark.implicits._
+    val boiler = "cookie policy banner text repeated on every page of the site forever"
+    val hot = (0 until 120).map(i => (i.toLong, boiler))
+    val churn = (120 until 170).map(i => (i.toLong, boiler + s" tail${i % 7}"))
+    val g = new scala.util.Random(23)
+    val cold = (0 until 15).flatMap { c =>
+      val base = (0 until 14).map(_ => s"w${g.nextInt(5000)}").mkString(" ")
+      Seq((300L + 2 * c, base), (301L + 2 * c, base + " zz"))
+    }
+    val d = (hot ++ churn ++ cold).toDF("doc_id", "text")
+    def pairs(firstAgree: Boolean) =
+      DocOps.minhashCandidates(d, 3, hotThreshold = 16, saltChunks = 4,
+          firstAgreeDedup = firstAgree)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val per = pairs(firstAgree = false)
+    val fa = pairs(firstAgree = true)
+    assert(per.size > (120 * 119) / 2) // the hot fan-out really engaged
+    assert(fa === per,
+      s"first-agree diff: missing=${(per -- fa).size} extra=${(fa -- per).size}")
+  }
+
   test("planted boilerplate hot bucket: simhash channel == brute force under salting") {
     import spark.implicits._
     val boiler = "all rights reserved contact the administrator for removal requests today"
