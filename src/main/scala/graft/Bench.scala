@@ -101,7 +101,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+  /** Remove stale tmpfs shuffle dirs from KILLED earlier runs. `session`
+    * points spark.local.dir at /dev/shm for measurement stability, and a
+    * SIGKILL'd JVM never cleans its dirs — orphans have been measured
+    * holding 99 GB of the 126 GB tmpfs, OOM-killing every later run. Safe
+    * here: the repo protocol serializes sbt-forked JVMs, so no live session
+    * owns the directory when a main starts. */
+  private[graft] def sweepStaleLocalDirs(): Unit = {
+    val root = java.nio.file.Paths.get("/dev/shm/spark-graft")
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    sweepStaleLocalDirs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val skipScaling = sys.env.get("SPARK_GRAFT_SCALING").contains("0")

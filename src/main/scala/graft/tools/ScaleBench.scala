@@ -52,6 +52,7 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
+    Bench.sweepStaleLocalDirs()
     val mode = args.headOption.getOrElse("all")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
     val header =

@@ -22,33 +22,48 @@ object TwinCost {
     ("doc_simhash_dup_pairs", "doc_simhash_dup_pairs_md5"),
     ("dup_pairs_minhash", "dup_pairs_minhash_md5"))
 
-  private def bestOf2(run: => Unit): Double = {
-    def once: Double = {
-      val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e9
-    }
-    math.min(once, once)
+  /** one timed run of a query in ITS OWN session. Session teardown deletes
+    * that run's tmpfs shuffle dirs deterministically — a 4.25M-row image
+    * channel run writes ~20 GB of shuffle, and several runs in one session
+    * outlive the async ContextCleaner and fill the 126 GB tmpfs (the walls
+    * then measure memory starvation, not the queries). Page cache and JIT
+    * stay warm across sessions, so the best-of-2 is still a warm protocol. */
+  private def timedRun(q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String): Double = {
+    val s = Bench.session(32, partitions = 32)
+    s.sparkContext.setLogLevel("WARN")
+    try {
+      val t0 = System.nanoTime(); q(s, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } finally s.stop()
   }
 
   def main(args: Array[String]): Unit = {
+    Bench.sweepStaleLocalDirs()
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = Bench.session(32, partitions = 32)
-    spark.sparkContext.setLogLevel("WARN")
     val out = new StringBuilder
     out ++= "# BENCH/TWINCOST — md5 oracle-twin overhead (written by graft.tools.TwinCost, not by hand)\n\n"
     out ++= s"Corpus: `$sfDir` (docs table + synthetic image corpus). Protocol:\n"
-    out ++= "warm best-of-2 per query in one local[32] session, fast channel and\n"
-    out ++= "twin interleaved so a noisy window cannot flatter the ratio only one\n"
-    out ++= "way. Acceptance bound (VERDICT r3 #8): twin wall <= 3x the fast\n"
-    out ++= "channel it gates at sf0.1.\n\n"
+    out ++= "warm best-of-2 per query at local[32], one session per run (teardown\n"
+    out ++= "frees that run's tmpfs shuffle dirs; page cache + JIT stay warm), fast\n"
+    out ++= "and twin runs interleaved so a noisy window cannot flatter the ratio\n"
+    out ++= "only one way. Acceptance bound (VERDICT r3 #8): twin wall <= 3x the\n"
+    out ++= "fast channel it gates at sf0.1.\n\n"
     out ++= "| fast channel | wall (s) | md5 twin | wall (s) | twin/fast |\n"
     out ++= "|---|---|---|---|---|\n"
     var worst = 0.0
     Pairs.foreach { case (fast, twin) =>
-      // one throwaway run of the fast channel warms the corpus cache both
-      // variants read (the twin must not pay the cold-scan cost alone)
-      SparkEntry.queries(fast)(spark, sfDir).count()
-      val tFast = bestOf2(SparkEntry.queries(fast)(spark, sfDir).count())
-      val tTwin = bestOf2(SparkEntry.queries(twin)(spark, sfDir).count())
+      val qFast = SparkEntry.queries(fast)
+      val qTwin = SparkEntry.queries(twin)
+      // one throwaway run of the fast channel warms the corpus page cache
+      // both variants read (the twin must not pay the cold-scan cost alone);
+      // then fast/twin runs interleave so a noisy window cannot flatter the
+      // ratio only one way
+      timedRun(qFast, sfDir)
+      val walls = Seq(timedRun(qFast, sfDir), timedRun(qTwin, sfDir),
+        timedRun(qFast, sfDir), timedRun(qTwin, sfDir))
+      val tFast = math.min(walls(0), walls(2))
+      val tTwin = math.min(walls(1), walls(3))
       val ratio = tTwin / tFast
       worst = math.max(worst, ratio)
       out ++= f"| $fast | $tFast%.2f | $twin | $tTwin%.2f | $ratio%.2f |\n"
@@ -63,6 +78,5 @@ object TwinCost {
       |""".stripMargin
     Files.createDirectories(Paths.get("/root/repo/BENCH"))
     Files.writeString(Paths.get("/root/repo/BENCH/TWINCOST.md"), out.toString)
-    spark.stop()
   }
 }
