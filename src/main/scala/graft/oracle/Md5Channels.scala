@@ -48,8 +48,17 @@ object Md5Channels {
   def permSeeds(numPerm: Int): Array[Long] =
     graft.spark.expr.Kernels.md5PermSeeds(numPerm)
 
-  /** distinct whitespace-token n-gram STRINGS (n=1 → token set). */
-  def tokenNgramStrings(text: Column, n: Int): Column = {
+  /** distinct whitespace-token n-gram STRINGS (n=1 → token set). Codegen'd
+    * one-pass kernel; byte-identical to the built-ins formulation on the
+    * callers' domain (`size(split(text,' ')) >= n`) — gated in
+    * Md5ChannelsSpec. The oracle SQL keeps the explicit split/slice form. */
+  def tokenNgramStrings(text: Column, n: Int): Column =
+    graft.spark.functions.token_ngram_strings(text, n)
+
+  /** the built-ins-only formulation of [[tokenNgramStrings]] — the spec
+    * twin (undefined below the size ≥ n domain: sequence(1, k<1) descends
+    * into a slice error, which is why every caller filters first). */
+  private[graft] def tokenNgramStringsBuiltins(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     if (n == 1) array_distinct(toks)
     else array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -153,9 +162,14 @@ object Md5Channels {
       .select(col("doc_id"), grams.as("grams"))
       .select(col("doc_id"), col("grams"),
         bandKeysMd5(xorMinhashMinima(hashes63(col("grams")), numPerm), bands, r).as("bks"))
-    val keyed = sigs.select(col("doc_id"), posexplode(col("bks")).as(Seq("bi", "bv")))
+    // walk-key array in band order engages the first-agreeing-band dedup
+    // of the hot fan-out (pair set unchanged — owning key is a shared walk
+    // key, so both members sit in its bucket)
+    val wks = array((0 until bands).map(i =>
+      bandWalkKey(lit(i), element_at(col("bks"), i + 1))): _*)
+    val keyed = sigs.select(col("doc_id"), wks.as("bands"))
       .select(col("doc_id").as("id"), lit(0L).as("phash"),
-        bandWalkKey(col("bi"), col("bv")).as("bv"))
+        explode(col("bands")).as("bv"), col("bands"))
     val cand = graft.pipeline.Dedup.saltedAllPairs(keyed, hotThreshold, saltChunks)
       .toDF("id_a", "id_b")
     val gsets = sigs.select(col("doc_id"), col("grams"))
@@ -206,9 +220,14 @@ object Md5Channels {
       tokenNgramStrings(col("caption"), 1).as("toks"))
       .select(col("image_id"), col("phash"), col("toks"),
         bandKeysMd5(xorMinhashMinima(hashes63(col("toks")), numPerm), bands, r).as("bks"))
-    val keyed = sigs.select(col("image_id"), posexplode(col("bks")).as(Seq("bi", "bv")))
+    // the walk-key ARRAY (band order) rides along as `bands`, engaging the
+    // first-agreeing-band dedup of the hot fan-out (same pair set — the
+    // owning key is a shared walk key, so both members sit in its bucket)
+    val wks = array((0 until bands).map(i =>
+      bandWalkKey(lit(i), element_at(col("bks"), i + 1))): _*)
+    val keyed = sigs.select(col("image_id"), wks.as("bands"))
       .select(idNum(col("image_id")).as("id"), lit(0L).as("phash"),
-        bandWalkKey(col("bi"), col("bv")).as("bv"))
+        explode(col("bands")).as("bv"), col("bands"))
     val cand = saltedAllPairs(keyed, hotThreshold, saltChunks)
       .select(idStr(col("id_a")).as("id_a"), idStr(col("id_b")).as("id_b"))
     confirmTokens(cand, sigs.select(col("image_id"), col("phash"), col("toks")), ht, tau)

@@ -258,6 +258,44 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** distinct whitespace-token n-gram STRINGS in first-occurrence order —
+    * the one-pass fold of the oracle twins' built-ins chain
+    * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+    * slice(split(text, " "), i, n))))`. Split mirrors SQL `split(text, ' ')`
+    * (Java regex, limit −1: consecutive spaces yield empty tokens, trailing
+    * empties kept); n = 1 is the distinct token set. Domain: callers filter
+    * `size(split(text,' ')) >= n` first (the built-ins form is itself
+    * undefined below it — `sequence(1, k<1)` descends into a slice error);
+    * below-domain input returns an empty array. */
+  def tokenNgramStringsDistinct(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[String]()
+    if (n == 1) {
+      var i = 0
+      while (i < toks.length) { seen.add(toks(i)); i += 1 }
+    } else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** ties-UP majority-vote 64-bit SimHash (bit set iff 2·ones ≥ n): the md5
     * oracle twin's rule, distinct from [[graft.sketch.SimHash.simhash64]]'s
     * strict 2·ones > n. One pass over the hash array — the fold of the

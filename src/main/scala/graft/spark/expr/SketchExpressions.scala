@@ -175,6 +175,21 @@ case class Md5Hashes63Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct whitespace-token n-gram STRINGS (first-occurrence order) — the
+  * codegen'd fold of the oracle twins' split/sequence/slice/concat_ws/
+  * array_distinct built-ins chain, byte-identical on the callers' domain
+  * (`size(split(text,' ')) >= n`, Md5ChannelsSpec). */
+case class TokenNgramStringsExpr(child: Expression, n: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngram_strings"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.tokenNgramStringsDistinct(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.tokenNgramStringsDistinct($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Ties-up majority-vote 64-bit SimHash (bit b set iff 2·ones(b) ≥ n) — the
   * md5 oracle twins' rule, folded from 64 `size(filter(...))` passes into
   * one traversal (byte-identical, Md5ChannelsSpec). */

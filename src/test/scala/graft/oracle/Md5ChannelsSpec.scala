@@ -40,6 +40,27 @@ class Md5ChannelsSpec extends AnyFunSuite {
     assert(both.where(not(col("fold") <=> col("builtins"))).isEmpty)
   }
 
+  test("codegen'd token n-gram strings == built-ins chain on the callers' domain") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    // adversarial shapes INSIDE the domain (size(split) >= n): consecutive
+    // spaces (empty tokens), leading/trailing spaces, multi-byte UTF-8,
+    // repeated grams (distinct order must match array_distinct's
+    // first-occurrence order)
+    val weird = Seq(
+      "a  b c", " a b c ", "héllo wörld ünïcode méh", "x y x y x y",
+      "a b c d e f", "  a  ").toDF("text")
+    for (df <- Seq(real, weird); n <- Seq(1, 2, 3)) {
+      val dom = df.where(size(split(col("text"), " ")) >= n)
+      val both = dom.select(
+        Md5Channels.tokenNgramStrings(col("text"), n).as("fold"),
+        Md5Channels.tokenNgramStringsBuiltins(col("text"), n).as("builtins"))
+      assert(both.where(not(col("fold") <=> col("builtins"))).isEmpty, s"n=$n")
+    }
+  }
+
   test("codegen'd md5 hashes == built-ins md5-hex parse, byte-identical") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
