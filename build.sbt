@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through unprefixed: Bench's contract is ONE
+// machine-parseable JSON line on stdout, and sbt's default LoggedOutput
+// prepends "[info] " to it (BENCH_r{1,2,3}.json all show parsed:null —
+// the harness could not find a bare JSON line in the output).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -109,6 +109,9 @@ object Ann {
     val stride = math.max(1L, n / centroids)
     def withCnorm(c: DataFrame): DataFrame =
       c.withColumn("cnorm", sqrt(gf.vec_dot(col("cvec"), col("cvec"))))
+    // unpartitioned window is bounded: it renumbers the ≤`centroids` seed
+    // rows surviving the limit above (WindowExec's single-partition warning
+    // here is over ≤16 rows, not the corpus)
     var cent = withCnorm(base.where(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(centroids)
       .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
