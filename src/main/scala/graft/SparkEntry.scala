@@ -254,6 +254,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // md5-rank OMH twin (the last approximate channel without an oracle
+    // row): same selection machinery — occurrence-weighted k-gram multiset,
+    // bottom-l per permutation, position-ordered block concat, rc-aware max
+    // compare — with md5('kmer:occ:perm') ranks both engines compute
+    // identically, so the DuckDB row gates sketches AND similarities
+    // rows+schema+hash (circular matching stays spec-gated; see
+    // Md5Channels.dnaOmhPairsMd5)
+    "dna_omh_pairs_md5" -> ((s, dir) =>
+      graft.oracle.Md5Channels.dnaOmhPairsMd5(docs(s, dir)).orderBy("doc_id")),
+
     // ---- embedding similarity search ----
     // exact brute force is the small-sf correctness oracle ONLY: the query
     // side is capped to a FIXED id budget (vec_id < 500 — a no-op at sf0.01
@@ -654,6 +664,47 @@ object SparkEntry {
            |  FROM $docsT)
            |SELECT doc_id, seq, reverse(translate(seq, 'ACGT', 'TGCA')) AS rc
            |FROM d ORDER BY doc_id""".stripMargin,
+
+      // mirrors Md5Channels.dnaOmhPairsMd5 (k=4, l=2, m=16, rot=8): rank =
+      // h63(kmer:occ) XOR h63('perm'||p) — the file-level xor-permutation
+      // contract, 63-bit so signed BIGINT order == Spark's long order;
+      // block = winners' k-grams concatenated in position order;
+      // similarity = fraction of the 16 permutations with equal blocks;
+      // rc-aware score = max(fwd-vs-x, rc-vs-x) per compare_sketches
+      "dna_omh_pairs_md5" ->
+        s"""WITH d AS (SELECT doc_id,
+           |  translate(upper(md5(text) || md5(text || 'x')),
+           |            '0123456789ABCDEF', 'ACGTACGTACGTACGT') AS seq
+           |  FROM $docsT),
+           |vr AS (SELECT doc_id, 0 AS vi, seq FROM d
+           |       UNION ALL SELECT doc_id, 1, reverse(translate(seq, 'ACGT', 'TGCA')) FROM d
+           |       UNION ALL SELECT doc_id, 2, substr(seq, 9) || substr(seq, 1, 8) FROM d),
+           |km AS (SELECT doc_id, vi, i.range::INT AS pos, substr(seq, i.range::INT, 4) AS kmer
+           |       FROM vr CROSS JOIN range(1, 62) i),
+           |oc AS (SELECT doc_id, vi, pos, kmer,
+           |         row_number() OVER (PARTITION BY doc_id, vi, kmer ORDER BY pos) - 1 AS occ
+           |       FROM km),
+           |hh AS (SELECT doc_id, vi, pos, kmer,
+           |         ${h63("kmer || ':' || occ::VARCHAR")} AS h FROM oc),
+           |pm AS (SELECT range AS p, ${h63("'perm'||range")} AS seed FROM range(0, 16)),
+           |rk AS (SELECT doc_id, vi, pm.p AS perm, pos, kmer, xor(h, seed) AS rnk
+           |       FROM hh CROSS JOIN pm),
+           |w AS (SELECT doc_id, vi, perm, pos, kmer,
+           |        row_number() OVER (PARTITION BY doc_id, vi, perm ORDER BY rnk) AS rn
+           |      FROM rk),
+           |bl AS (SELECT doc_id, vi, perm, string_agg(kmer, '' ORDER BY pos) AS block
+           |       FROM w WHERE rn <= 2 GROUP BY doc_id, vi, perm),
+           |pv AS (SELECT doc_id, perm,
+           |         max(CASE WHEN vi = 0 THEN block END) AS b_fwd,
+           |         max(CASE WHEN vi = 1 THEN block END) AS b_rc,
+           |         max(CASE WHEN vi = 2 THEN block END) AS b_rot
+           |       FROM bl GROUP BY doc_id, perm)
+           |SELECT doc_id,
+           |  greatest(avg(CASE WHEN b_fwd = b_rc THEN 1 ELSE 0 END),
+           |           avg(CASE WHEN b_rc = b_rc THEN 1 ELSE 0 END))::DOUBLE AS sim_rc_dup,
+           |  greatest(avg(CASE WHEN b_fwd = b_rot THEN 1 ELSE 0 END),
+           |           avg(CASE WHEN b_rc = b_rot THEN 1 ELSE 0 END))::DOUBLE AS sim_rot_linear
+           |FROM pv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "doc_fingerprints_md5" ->
         s"""WITH g AS (SELECT doc_id,

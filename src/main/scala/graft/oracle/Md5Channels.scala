@@ -330,6 +330,81 @@ object Md5Channels {
     exact.join(est, "part")
   }
 
+  // ------------------------------------------------------ OrderMinHash (md5)
+
+  /** OMH strand/rotation comparison, md5-rank variant — the cross-engine
+    * twin of the `dna_omh_pairs` driver query. Same selection machinery as
+    * [[graft.sketch.OrderMinHash.sketch]] (occurrence-weighted k-gram
+    * multiset, bottom-l ranks per permutation, winners ordered by POSITION
+    * and concatenated, then the rc-aware max scoring of
+    * `OrderMinHash.compareSketches`), with the per-occurrence permuted rank
+    * `h63(kmer:occ) XOR h63('perm'||p)` replacing
+    * `fmix64((id+occ)·w ^ mt19937seed)` — the file-level xor-permutation
+    * determinism contract, so DuckDB reproduces every sketch block and
+    * similarity exactly (one digest per occurrence, m long-xor rankings —
+    * NOT m digests — keeps the twin within the TWINCOST bound). The
+    * circular block-rotation variant stays spec-gated only (DnaParitySpec):
+    * rotating CONCATENATED blocks is not SQL-window-shaped. Built entirely
+    * from codegen'd Spark built-ins; gated against an independent JVM brute
+    * force in Md5ChannelsSpec. sim_rc_dup's second compare leg is
+    * sim(rc, rc) ≡ 1.0 by construction — exactly the rc-dup=1.0 invariant
+    * the fast channel asserts (`OrderMinHash.cpp:106-150` rc mode). */
+  def dnaOmhPairsMd5(docs: DataFrame, k: Int = 4, l: Int = 2, m: Int = 16,
+      rot: Int = 8): DataFrame = {
+    val seqc = translate(
+      upper(concat(md5(col("text")), md5(concat(col("text"), lit("x"))))),
+      "0123456789ABCDEF", "ACGTACGTACGTACGT")
+    def blocksOf(s: Column): Column = graft.spark.functions.omh_md5_blocks(s, k, l, m)
+    def simc(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / lit(m.toDouble)
+    // the docs parquet at gate scale is one tiny split; without a spread the
+    // 3·(n−k+1) digests/row serialize on a single core. Hash-spread on
+    // doc_id — per-row map, so values are partition-invariant (README probe)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), seqc.as("seq"))
+      .withColumn("rcseq", reverse(translate(col("seq"), "ACGT", "TGCA")))
+      .withColumn("rotseq", concat(substring(col("seq"), rot + 1, 64 - rot),
+        substring(col("seq"), 1, rot)))
+      .select(col("doc_id"),
+        blocksOf(col("seq")).as("fwd"),
+        blocksOf(col("rcseq")).as("rcb"), // ≡ the rc-dup partner's fwd sketch
+        blocksOf(col("rotseq")).as("rotb"))
+      .select(col("doc_id"),
+        greatest(simc(col("fwd"), col("rcb")), simc(col("rcb"), col("rcb")))
+          .as("sim_rc_dup"),
+        greatest(simc(col("fwd"), col("rotb")), simc(col("rcb"), col("rotb")))
+          .as("sim_rot_linear"))
+  }
+
+  /** the built-ins-only formulation of the OMH twin's per-sequence blocks —
+    * the spec twin [[graft.spark.expr.OmhXorBlocksExpr]] is gated
+    * byte-identical against on the callers' domain (single-byte-char
+    * strings, length ≥ k). blocks(p) = the p-th permutation's l winning
+    * k-grams concatenated in POSITION order; rank(i, p) = h63(kmer:occ)
+    * XOR h63('perm'||p); occ counts earlier occurrences of the same k-gram
+    * (slice(_,1,i) = the i elements BEFORE 0-based lambda index i). */
+  private[graft] def omhBlocksBuiltins(s: Column, k: Int, l: Int, m: Int): Column = {
+    val seeds = permSeeds(m)
+    val kmers = transform(sequence(lit(1), length(s) - (k - 1)),
+      i => s.substr(i, lit(k)))
+    val occd = transform(kmers, (km, i) => struct(
+      md5half63(concat_ws(":",
+        km, size(filter(slice(kmers, lit(1), i), y => y === km)).cast("string")))
+        .as("h"),
+      (i + 1).as("pos"),
+      km.as("kmer")))
+    array((0 until m).map { p =>
+      val ranked = array_sort(transform(occd, x => struct(
+        x.getField("h").bitwiseXOR(lit(seeds(p))).as("rnk"),
+        x.getField("pos").as("pos"), x.getField("kmer").as("kmer"))))
+      val byPos = array_sort(transform(slice(ranked, 1, l),
+        w => struct(w.getField("pos").as("pos"), w.getField("kmer").as("kmer"))))
+      array_join(transform(byPos, w => w.getField("kmer")), "")
+    }: _*)
+  }
+
   // ------------------------------------------- bottom-k estimators (md5)
 
   /** per-pair bottom-k estimator suite over md5-hashed char k-shingles,

@@ -236,8 +236,19 @@ object Kernels {
     * 32 bits, 9-16 as the low, sign bit masked): digest bytes 0-7 directly,
     * no hex-string materialization — JVM MD5 == SQL md5 by definition, and
     * the hex-substring parse is just these bytes. */
-  def md5Half63(s: UTF8String): Long = {
-    val b = md5Digest.get().digest(s.getBytes)
+  def md5Half63(s: UTF8String): Long = half63(md5Digest.get().digest(s.getBytes))
+
+  /** [[md5Half63]] over a raw byte slice — the allocation-free entry for
+    * kernels that assemble the digest input themselves (ASCII input ⇒ the
+    * bytes ARE the UTF-8 encoding, so this is byte-identical to the
+    * UTF8String path). */
+  def md5Half63(buf: Array[Byte], len: Int): Long = {
+    val md = md5Digest.get()
+    md.update(buf, 0, len)
+    half63(md.digest())
+  }
+
+  private def half63(b: Array[Byte]): Long = {
     val hi = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
       ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
     val lo = ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
@@ -293,6 +304,99 @@ object Kernels {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** one-pass md5-rank OMH blocks — the codegen'd fold of the built-ins
+    * formulation in [[graft.oracle.Md5Channels]] (dnaOmhBlocksBuiltins):
+    * per k-gram occurrence ONE digest h63(kmer:occ); per permutation p the
+    * rank is h ^ seeds(p), the l unsigned-smallest (63-bit ⇒ signed order;
+    * rank ties break on position, mirroring array_sort's struct order) win,
+    * and the block is their k-grams concatenated in POSITION order.
+    * Domain: single-byte-char strings of length ≥ k (the ACGT alphabet the
+    * callers derive; the built-ins substr is codepoint-based so the gate in
+    * Md5ChannelsSpec runs on the callers' domain). */
+  def omhXorBlocks(seq: UTF8String, k: Int, l: Int, seeds: Array[Long]): ArrayData = {
+    val bytes = seq.getBytes
+    val n = bytes.length - k + 1
+    val m = seeds.length
+    val out = new Array[Any](m)
+    if (n <= 0) {
+      var p = 0
+      while (p < m) { out(p) = UTF8String.EMPTY_UTF8; p += 1 }
+      return new GenericArrayData(out)
+    }
+    val hs = new Array[Long](n)
+    val seen = new java.util.HashMap[String, Integer](n * 2)
+    // digest input assembled in place: kmer bytes, ':', occ digits — the
+    // single-byte-char domain makes these bytes the UTF-8 encoding the
+    // oracle SQL digests, so the hash stream is byte-identical to
+    // md5(kmer || ':' || occ) in DuckDB
+    val buf = new Array[Byte](k + 12)
+    var i = 0
+    while (i < n) {
+      val km = new String(bytes, i, k, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val c = seen.merge(km, 1, (a, b) => a + b) - 1
+      System.arraycopy(bytes, i, buf, 0, k)
+      buf(k) = ':'
+      var len = k + 1
+      if (c == 0) { buf(len) = '0'; len += 1 }
+      else {
+        val start = len
+        var c2 = c
+        while (c2 > 0) { buf(len) = ('0' + c2 % 10).toByte; c2 /= 10; len += 1 }
+        var a = start; var b = len - 1
+        while (a < b) { val t = buf(a); buf(a) = buf(b); buf(b) = t; a += 1; b -= 1 }
+      }
+      hs(i) = md5Half63(buf, len)
+      i += 1
+    }
+    val ll = math.min(l, n)
+    val winRank = new Array[Long](ll)
+    val winPos = new Array[Int](ll)
+    var p = 0
+    while (p < m) {
+      val sd = seeds(p)
+      // l-slot buffer of the smallest (rank, pos) pairs; maxIdx = current worst
+      var size = 0
+      var maxIdx = 0
+      i = 0
+      while (i < n) {
+        val r = hs(i) ^ sd
+        if (size < ll) {
+          winRank(size) = r; winPos(size) = i
+          size += 1
+          if (size == ll) {
+            maxIdx = 0
+            var t = 1
+            while (t < ll) {
+              if (winRank(t) > winRank(maxIdx) ||
+                (winRank(t) == winRank(maxIdx) && winPos(t) > winPos(maxIdx))) maxIdx = t
+              t += 1
+            }
+          }
+        } else if (r < winRank(maxIdx)) {
+          // strict '<': on a rank tie the EARLIER position (already held)
+          // wins, matching the built-ins' (rnk, pos) struct sort
+          winRank(maxIdx) = r; winPos(maxIdx) = i
+          maxIdx = 0
+          var t = 1
+          while (t < ll) {
+            if (winRank(t) > winRank(maxIdx) ||
+              (winRank(t) == winRank(maxIdx) && winPos(t) > winPos(maxIdx))) maxIdx = t
+            t += 1
+          }
+        }
+        i += 1
+      }
+      // position order = insertion-order sort of the ≤l winners
+      java.util.Arrays.sort(winPos, 0, size)
+      val blk = new Array[Byte](size * k)
+      var j = 0
+      while (j < size) { System.arraycopy(bytes, winPos(j), blk, j * k, k); j += 1 }
+      out(p) = UTF8String.fromBytes(blk)
+      p += 1
+    }
     new GenericArrayData(out)
   }
 

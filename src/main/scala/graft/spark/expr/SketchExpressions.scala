@@ -94,6 +94,27 @@ case class XorMinMinimaExpr(child: Expression, numPerm: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass md5-rank OMH blocks over the xor-permutation oracle seeds: the
+  * codegen'd fold of [[graft.oracle.Md5Channels]]'s built-ins formulation
+  * (one digest per k-gram occurrence, m long-xor rankings, bottom-l per
+  * permutation, position-ordered concat) — byte-identical output on the
+  * callers' single-byte-char domain (Md5ChannelsSpec). The oracle SQL keeps
+  * the window-function formulation; only the Spark side folds. */
+case class OmhXorBlocksExpr(child: Expression, k: Int, l: Int, m: Int)
+    extends UnaryExpression with KernelCall {
+  @transient private lazy val seeds: Array[Long] = Kernels.md5PermSeeds(m)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "omh_md5_blocks"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.omhXorBlocks(t.asInstanceOf[UTF8String], k, l, seeds)
+  def compute(seq: UTF8String): ArrayData = Kernels.omhXorBlocks(seq, k, l, seeds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("omhXorBlocksExpr", this, classOf[OmhXorBlocksExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with KernelCall {
   override def dataType: DataType = LongType

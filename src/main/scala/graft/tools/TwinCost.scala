@@ -31,7 +31,8 @@ object TwinCost {
   private val Pairs = Seq(
     ("doc_minhash_dup_pairs", "doc_minhash_dup_pairs_md5", ""),
     ("doc_simhash_dup_pairs", "doc_simhash_dup_pairs_md5", ""),
-    ("dup_pairs_minhash", "dup_pairs_minhash_md5", "/root/testdata/sf0.01"))
+    ("dup_pairs_minhash", "dup_pairs_minhash_md5", "/root/testdata/sf0.01"),
+    ("dna_omh_pairs", "dna_omh_pairs_md5", ""))
 
   /** one timed run of a query in ITS OWN session. Session teardown deletes
     * that run's tmpfs shuffle dirs deterministically — a 4.25M-row image
@@ -90,7 +91,9 @@ object TwinCost {
       |Worst twin/fast ratio: **$worst%.2f** (bound 3.0). The md5 twins run the
       |same operator shapes as the channels they gate (xor-permutation
       |MinHash via the one-pass `xor_min_minima` kernel, majority-vote
-      |SimHash, the shared salted run-walk, the same confirm joins); the
+      |SimHash, the shared salted run-walk, the same confirm joins; for the
+      |OMH twin, the same occurrence-weighted bottom-l selection and
+      |rc-aware max scoring at m=16 vs the fast channel's m=64); the
       |residual overhead is the md5 digest per gram vs murmur/fmix.
       |""".stripMargin
     Files.createDirectories(Paths.get("/root/repo/BENCH"))

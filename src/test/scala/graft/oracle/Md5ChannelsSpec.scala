@@ -99,6 +99,85 @@ class Md5ChannelsSpec extends AnyFunSuite {
     }
   }
 
+  test("md5-rank OMH twin == independent JVM brute force of the selection semantics") {
+    spark.sparkContext.setLogLevel("WARN")
+    import java.security.MessageDigest
+    val (k, l, m, rot) = (4, 2, 16, 8)
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    def seqOf(text: String): String = {
+      val hex = (md5hex(text) + md5hex(text + "x")).toUpperCase
+      hex.map(c => "ACGTACGTACGTACGT".charAt("0123456789ABCDEF".indexOf(c)))
+    }
+    // independent h63: parse the md5 hex halves directly (no Kernels reuse)
+    def h63(s: String): Long = {
+      val hex = md5hex(s)
+      ((java.lang.Long.parseLong(hex.substring(0, 8), 16) << 32) |
+        java.lang.Long.parseLong(hex.substring(8, 16), 16)) & Long.MaxValue
+    }
+    val seeds = (0 until m).map(p => h63(s"perm$p"))
+    def blocks(seq: String): IndexedSeq[String] = {
+      val kmers = (0 to seq.length - k).map(i => seq.substring(i, i + k))
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val hs = kmers.map { km =>
+        val c = seen.getOrElse(km, 0); seen(km) = c + 1; h63(s"$km:$c")
+      }
+      (0 until m).map { p =>
+        kmers.indices
+          .map(i => (hs(i) ^ seeds(p), i))
+          .sorted.take(l).map(_._2).sorted.map(kmers).mkString
+      }
+    }
+    def sim(a: Seq[String], b: Seq[String]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / m
+    def rc(s: String): String = s.reverse.map {
+      case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(40)
+    val got = Md5Channels.dnaOmhPairsMd5(docs, k, l, m, rot).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 40 && got.size == 40)
+    var nontrivialRot = 0
+    rows.foreach { case (id, text) =>
+      val seq = seqOf(text)
+      val (fwd, rcb) = (blocks(seq), blocks(rc(seq)))
+      val rotb = blocks(seq.substring(rot) + seq.substring(0, rot))
+      val expRc = math.max(sim(fwd, rcb), sim(rcb, rcb))
+      val expRot = math.max(sim(fwd, rotb), sim(rcb, rotb))
+      assert(got(id) == ((expRc, expRot)), s"doc $id: got ${got(id)}")
+      assert(expRc == 1.0) // rc-dup invariant: sim(rc, rc) leg is exact
+      if (expRot > 0.0 && expRot < 1.0) nontrivialRot += 1
+    }
+    // the rotation leg must actually exercise block mismatches, not
+    // degenerate to all-0/all-1
+    assert(nontrivialRot >= 10, s"only $nontrivialRot nontrivial rotation sims")
+  }
+
+  test("codegen'd OMH blocks == built-ins window formulation on the callers' domain") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // the callers' domain: single-byte-char sequences of length >= k (the
+    // derived ACGT 64-mers), plus in-domain degenerate shapes — length == k
+    // (one gram), heavy k-gram repetition (occurrence weighting), n < l
+    val acgt = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(translate(
+        upper(concat(md5(col("text")), md5(concat(col("text"), lit("x"))))),
+        "0123456789ABCDEF", "ACGTACGTACGTACGT").as("seq"))
+    val weird = Seq("ACGT", "AAAAAAAA", "ACGTA", "ACGTACGTACGT").toDF("seq")
+    for (df <- Seq(acgt, weird); (k, l, m) <- Seq((4, 2, 16), (2, 3, 8))) {
+      val dom = df.where(length(col("seq")) >= k)
+      val both = dom.select(
+        graft.spark.functions.omh_md5_blocks(col("seq"), k, l, m).as("fold"),
+        Md5Channels.omhBlocksBuiltins(col("seq"), k, l, m).as("builtins"))
+      assert(both.where(not(col("fold") <=> col("builtins"))).isEmpty,
+        s"k=$k l=$l m=$m")
+      assert(dom.count() > 0)
+    }
+  }
+
   test("kernel survives whole-stage codegen in the full band-key pipeline") {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
