@@ -147,6 +147,23 @@ object Md5Channels {
   private def bandWalkKey(bi: Column, bv: Column): Column =
     md5half(concat(bi.cast("string"), lit(":"), bv))
 
+  /** the full walk-key array (band order) via the one-pass codegen'd
+    * kernel [[graft.spark.expr.BandWalkKeysExpr]] — byte-identical to
+    * [[bandWalkKeysBuiltins]] on the callers' domain (Md5ChannelsSpec).
+    * The built-ins forest (bands× md5+conv trees) tripped janino's 64 KB
+    * method limit, silently dropping the twins' projection stage out of
+    * whole-stage codegen. */
+  def bandWalkKeys(minima: Column, bands: Int, r: Int): Column =
+    graft.spark.functions.band_walk_keys(minima, bands, r)
+
+  /** the built-ins-only formulation of [[bandWalkKeys]] — the spec twin
+    * (the bandKeysMd5 ∘ bandWalkKey chain the oracle SQL mirrors). */
+  private[graft] def bandWalkKeysBuiltins(minima: Column, bands: Int, r: Int): Column = {
+    val bks = bandKeysMd5(minima, bands, r)
+    array((0 until bands).map(i =>
+      bandWalkKey(lit(i), element_at(bks, i + 1))): _*)
+  }
+
   /** doc near-dup pairs: md5 xor-perm MinHash (numPerm slots, bands×r
     * banding), exact n-gram-jaccard confirm. Both candidate generation and
     * confirm are engine-reproducible. Candidates run through the shared
@@ -157,17 +174,16 @@ object Md5Channels {
       numPerm: Int = 32, bands: Int = 16, r: Int = 2,
       hotThreshold: Int = 1 << 12, saltChunks: Int = 16): DataFrame = {
     val grams = tokenNgramStrings(col("text"), n)
+    // walk-key array in band order engages the first-agreeing-band dedup
+    // of the hot fan-out (pair set unchanged — owning key is a shared walk
+    // key, so both members sit in its bucket)
     val sigs = docs
       .where(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"), grams.as("grams"))
       .select(col("doc_id"), col("grams"),
-        bandKeysMd5(xorMinhashMinima(hashes63(col("grams")), numPerm), bands, r).as("bks"))
-    // walk-key array in band order engages the first-agreeing-band dedup
-    // of the hot fan-out (pair set unchanged — owning key is a shared walk
-    // key, so both members sit in its bucket)
-    val wks = array((0 until bands).map(i =>
-      bandWalkKey(lit(i), element_at(col("bks"), i + 1))): _*)
-    val keyed = sigs.select(col("doc_id"), wks.as("bands"))
+        bandWalkKeys(xorMinhashMinima(hashes63(col("grams")), numPerm), bands, r)
+          .as("bands"))
+    val keyed = sigs.select(col("doc_id"), col("bands"))
       .select(col("doc_id").as("id"), lit(0L).as("phash"),
         explode(col("bands")).as("bv"), col("bands"))
     val cand = graft.pipeline.Dedup.saltedAllPairs(keyed, hotThreshold, saltChunks)
@@ -216,16 +232,15 @@ object Md5Channels {
       numPerm: Int = 32, bands: Int = 16, r: Int = 2,
       hotThreshold: Int = 1 << 12, saltChunks: Int = 16): DataFrame = {
     import graft.pipeline.Dedup.{idNum, idStr, saltedAllPairs}
-    val sigs = corpus.select(col("image_id"), col("phash"),
-      tokenNgramStrings(col("caption"), 1).as("toks"))
-      .select(col("image_id"), col("phash"), col("toks"),
-        bandKeysMd5(xorMinhashMinima(hashes63(col("toks")), numPerm), bands, r).as("bks"))
     // the walk-key ARRAY (band order) rides along as `bands`, engaging the
     // first-agreeing-band dedup of the hot fan-out (same pair set — the
     // owning key is a shared walk key, so both members sit in its bucket)
-    val wks = array((0 until bands).map(i =>
-      bandWalkKey(lit(i), element_at(col("bks"), i + 1))): _*)
-    val keyed = sigs.select(col("image_id"), wks.as("bands"))
+    val sigs = corpus.select(col("image_id"), col("phash"),
+      tokenNgramStrings(col("caption"), 1).as("toks"))
+      .select(col("image_id"), col("phash"), col("toks"),
+        bandWalkKeys(xorMinhashMinima(hashes63(col("toks")), numPerm), bands, r)
+          .as("bands"))
+    val keyed = sigs.select(col("image_id"), col("bands"))
       .select(idNum(col("image_id")).as("id"), lit(0L).as("phash"),
         explode(col("bands")).as("bv"), col("bands"))
     val cand = saltedAllPairs(keyed, hotThreshold, saltChunks)

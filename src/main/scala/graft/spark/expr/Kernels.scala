@@ -269,6 +269,60 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** one-pass LSH band walk keys — the codegen'd fold of the built-ins
+    * chain `bandKeysMd5 ∘ bandWalkKey` in [[graft.oracle.Md5Channels]]:
+    * per band b, content = that band's r slot minima as decimal strings
+    * joined by ',' (concat_ws semantics: null slots skipped, no doubled
+    * separator), bk = lowercase md5 hex of content, key =
+    * md5half("b" ++ ":" ++ bk) over the FULL 64-bit range (the walk key is
+    * a bucket id, not a rank — the built-ins use the unmasked md5half).
+    * Two digests per band instead of a bands-wide md5+conv expression
+    * forest, which blew janino's 64 KB method limit and silently dropped
+    * the twins' projection stage out of whole-stage codegen to interpreted
+    * eval. Domain: minima length ≥ bands·r (callers produce exactly
+    * numPerm = bands·r slots). */
+  def bandWalkKeys(minima: ArrayData, bands: Int, r: Int): ArrayData = {
+    val md = md5Digest.get()
+    val out = new Array[Long](bands)
+    val sb = new java.lang.StringBuilder(r * 21)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var j = 0
+      var first = true
+      while (j < r) {
+        val idx = b * r + j
+        if (!minima.isNullAt(idx)) {
+          if (!first) sb.append(',')
+          sb.append(minima.getLong(idx))
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      sb.setLength(0)
+      sb.append(b).append(':')
+      var i = 0
+      while (i < 16) {
+        val v = d(i) & 0xff
+        sb.append(HexDigits(v >>> 4)).append(HexDigits(v & 0xf))
+        i += 1
+      }
+      val d2 = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hi = ((d2(0) & 0xffL) << 24) | ((d2(1) & 0xffL) << 16) |
+        ((d2(2) & 0xffL) << 8) | (d2(3) & 0xffL)
+      val lo = ((d2(4) & 0xffL) << 24) | ((d2(5) & 0xffL) << 16) |
+        ((d2(6) & 0xffL) << 8) | (d2(7) & 0xffL)
+      out(b) = (hi << 32) | lo
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** distinct whitespace-token n-gram STRINGS in first-occurrence order —
     * the one-pass fold of the oracle twins' built-ins chain
     * `array_distinct(transform(sequence(...), i => concat_ws(" ",

@@ -115,6 +115,25 @@ case class OmhXorBlocksExpr(child: Expression, k: Int, l: Int, m: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass LSH band walk keys over xor-permutation minima: the codegen'd
+  * fold of [[graft.oracle.Md5Channels]]'s `bandKeysMd5 ∘ bandWalkKey`
+  * built-ins chain (two digests per band) — byte-identical output on the
+  * callers' domain (minima length ≥ bands·r; gated in Md5ChannelsSpec).
+  * The oracle SQL keeps the explicit md5-hex band-key formulation; only
+  * the Spark side folds, which also keeps the projection stage inside
+  * whole-stage codegen (the built-ins forest tripped janino's 64 KB
+  * method limit). */
+case class BandWalkKeysExpr(child: Expression, bands: Int, r: Int)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_walk_keys"
+  protected override def nullSafeEval(t: Any): Any =
+    Kernels.bandWalkKeys(t.asInstanceOf[ArrayData], bands, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernelsRef.bandWalkKeys($c, $bands, $r)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with KernelCall {
   override def dataType: DataType = LongType

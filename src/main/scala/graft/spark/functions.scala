@@ -34,6 +34,8 @@ object functions {
   def xor_min_minima(hs: Column, numPerm: Int): Column = c(XorMinMinimaExpr(e(hs), numPerm))
   def first_agree_key(a: Column, b: Column): Column = c(FirstAgreeKeyExpr(e(a), e(b)))
   def md5_hashes63(grams: Column): Column = c(Md5Hashes63Expr(e(grams)))
+  def band_walk_keys(minima: Column, bands: Int, r: Int): Column =
+    c(BandWalkKeysExpr(e(minima), bands, r))
   def omh_md5_blocks(seq: Column, k: Int, l: Int, m: Int): Column =
     c(OmhXorBlocksExpr(e(seq), k, l, m))
   def token_ngram_strings(text: Column, n: Int): Column = c(TokenNgramStringsExpr(e(text), n))

@@ -178,6 +178,21 @@ class Md5ChannelsSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen'd band walk keys == builtins bandKeysMd5∘bandWalkKey chain") {
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // callers' domain: minima arrays of exactly bands*r nonneg 63-bit longs
+    for ((numPerm, bands, r) <- Seq((32, 16, 2), (8, 2, 4))) {
+      val minima = Md5Channels.xorMinhashMinima(
+        Md5Channels.hashes63(Md5Channels.tokenNgramStrings(col("text"), 3)), numPerm)
+      val both = docs.where(size(split(col("text"), " ")) >= 3).select(
+        Md5Channels.bandWalkKeys(minima, bands, r).as("fold"),
+        Md5Channels.bandWalkKeysBuiltins(minima, bands, r).as("builtins"))
+      assert(both.where(not(col("fold") <=> col("builtins"))).isEmpty,
+        s"numPerm=$numPerm bands=$bands r=$r")
+    }
+  }
+
   test("kernel survives whole-stage codegen in the full band-key pipeline") {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
