@@ -93,12 +93,15 @@ object Bench {
 
   /** best-of-N protocol: JVM/OS noise on a shared VM is one-sided (runs are
     * only ever slower than the true cost), so the minimum of N runs in a
-    * warm session is the faithful estimate of the job's cost per level. */
+    * warm session is the faithful estimate of the job's cost per level.
+    * Each run is timed in its own try: a transient failure in run k must not
+    * discard the valid walls of runs 1..k-1 (a run-2 executor loss would
+    * otherwise publish the query as failed despite a good run-1 wall). */
   private def bestOf(n: Int)(run: => Unit): Seq[Double] =
-    (1 to n).map { _ =>
+    (1 to n).flatMap { _ =>
       val t0 = System.nanoTime()
-      run
-      (System.nanoTime() - t0) / 1e9
+      try { run; Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
     }
 
   /** Remove stale tmpfs shuffle dirs from KILLED earlier runs. `session`
@@ -148,8 +151,7 @@ object Bench {
         val s1 = session(cpus)
         s1.sparkContext.setLogLevel("WARN")
         try { fn(s1, "/root/testdata/sf0.001").count() } catch { case _: Throwable => }
-        val walls = try { bestOf(2) { fn(s1, sfDir).count() } }
-          catch { case _: Throwable => Seq.empty[Double] }
+        val walls = bestOf(2) { fn(s1, sfDir).count() }
         s1.stop()
         name -> (if (walls.nonEmpty) walls.min else -1.0) // -1 marks a failed query, never a time
       }
@@ -185,7 +187,10 @@ object Bench {
       def measureOnce(cpus: Int): Double = {
         val s = session(cpus, partitions = 32)
         s.sparkContext.setLogLevel("WARN")
-        val r = bestOf(1)(pipelineE2E(s, sfDir)).head
+        // scaling legs must fail LOUDLY: a silently skipped level would
+        // publish an efficiency ratio computed from a zero wall
+        val r = bestOf(1)(pipelineE2E(s, sfDir)).headOption
+          .getOrElse(sys.error(s"pipelineE2E failed at $cpus cores"))
         s.stop()
         r
       }

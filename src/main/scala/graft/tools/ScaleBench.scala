@@ -293,7 +293,8 @@ object ScaleBench {
         try graft.data.SyntheticDocs.ensure(s, "skew", spec).count() finally s.stop()
       }
       val hot = 1 << 10 // mega-template buckets carry ~2x this many members
-      case class Leg(name: String, cand: Long, wall: Double, shuffleGB: Double)
+      case class Leg(name: String, cand: Long, fingerprint: Long, wall: Double,
+          shuffleGB: Double)
       def leg(name: String)(cand: DataFrame => DataFrame): Leg = {
         val s = Bench.session(32)
         s.sparkContext.setLogLevel("WARN")
@@ -304,13 +305,36 @@ object ScaleBench {
             if (m != null) written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           }
         })
+        // onTaskEnd is delivered on the async listener-bus thread, which can
+        // lag job completion under task churn — snapshotting the counter the
+        // instant count() returns attributes run-1 stragglers to run 2 and
+        // drops run-2 tail events. Poll until the counter stops moving.
+        def settled(): Long = {
+          var prev = written.get()
+          var stable = 0
+          var waited = 0
+          while (stable < 2 && waited < 40) { // 2 quiet polls, 10 s cap
+            Thread.sleep(250); waited += 1
+            val cur = written.get()
+            if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+          }
+          prev
+        }
         try {
           val docs = graft.data.SyntheticDocs.ensure(s, "skew", spec)
           var n = 0L
           val t1 = timed { n = cand(docs).count() } // warm (cold parquet + JIT)
-          val b0 = written.get()
+          val b0 = settled()
           val t2 = timed { cand(docs).count() }
-          Leg(name, n, math.min(t1, t2), (written.get() - b0) / 1e9)
+          val gb = (settled() - b0) / 1e9
+          // untimed third pass: an order-independent set fingerprint so the
+          // cross-leg assertion proves set identity, not just count equality
+          val fp = {
+            import org.apache.spark.sql.functions.{bit_xor, xxhash64, col}
+            cand(docs).agg(bit_xor(xxhash64(col("id_a"), col("id_b"))))
+              .head().getLong(0)
+          }
+          Leg(name, n, fp, math.min(t1, t2), gb)
         } finally s.stop()
       }
       val legs = Seq(
@@ -330,14 +354,15 @@ object ScaleBench {
           docs, hotThreshold = hot, firstAgreeDedup = false)),
         leg("firstagree")(docs => graft.docs.DocOps.minhashCandidates(
           docs, hotThreshold = hot)))
-      require(legs.map(_.cand).distinct.size == 1,
-        s"candidate sets diverge: ${legs.map(l => s"${l.name}=${l.cand}")}")
+      require(legs.map(l => (l.cand, l.fingerprint)).distinct.size == 1,
+        s"candidate sets diverge: ${legs.map(l => s"${l.name}=${l.cand}/fp=${l.fingerprint}")}")
       out ++= s"## Doc-channel boilerplate skew: candidate stage A/B at ${spec.rows} docs\n\n"
       out ++= s"Corpus: `SyntheticDocs.Spec()` — ${spec.megaTemplates} mega-templates × " +
         s"${spec.megaMembers} near-identical members (pairwise 3-gram jaccard ≥ 0.6,\n" +
         s"band buckets hot in all 64 bands at hotThreshold=$hot), " +
         s"${spec.smallClusters} cold clusters × ${spec.smallMembers}, ${spec.noise} noise docs.\n" +
-        "All legs emit the IDENTICAL distinct candidate set (asserted). Walls are\n" +
+        "All legs emit the IDENTICAL distinct candidate set (asserted: equal count\n" +
+        "AND equal order-independent xxhash64 XOR set fingerprint, untimed pass). Walls are\n" +
         "best-of-2 (warm run measured); shuffle GB is the second run's total task\n" +
         "shuffle-write volume — the metric the first-agreeing-band dedup targets.\n\n"
       out ++= "| leg | distinct candidates | wall (s) | shuffle write (GB) |\n|---|---|---|---|\n"
