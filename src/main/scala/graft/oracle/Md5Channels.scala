@@ -183,6 +183,11 @@ object Md5Channels {
       .select(col("doc_id"), col("grams"),
         bandWalkKeys(xorMinhashMinima(hashes63(col("grams")), numPerm), bands, r)
           .as("bands"))
+      // one computation of the md5 gram-hash + xor-min + band-key stage:
+      // the walk's hot path re-reads its input filtered to hot buckets, and
+      // both confirm joins re-read the gram sets (the Dedup.dupPairsMinhash
+      // lesson — un-checkpointed, the upstream runs 3-4×)
+      .localCheckpoint()
     val keyed = sigs.select(col("doc_id"), col("bands"))
       .select(col("doc_id").as("id"), lit(0L).as("phash"),
         explode(col("bands")).as("bv"), col("bands"))
@@ -240,6 +245,9 @@ object Md5Channels {
       .select(col("image_id"), col("phash"), col("toks"),
         bandWalkKeys(xorMinhashMinima(hashes63(col("toks")), numPerm), bands, r)
           .as("bands"))
+      // one computation of the md5 token-hash + xor-min + band-key stage
+      // (walk hot-path re-read + both confirm joins re-consume it)
+      .localCheckpoint()
     val keyed = sigs.select(col("image_id"), col("bands"))
       .select(idNum(col("image_id")).as("id"), lit(0L).as("phash"),
         explode(col("bands")).as("bv"), col("bands"))

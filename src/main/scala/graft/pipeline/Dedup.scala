@@ -765,23 +765,33 @@ object Dedup {
     * information has travelled each round (reach r → ≥ 2r+1), hence the
     * logarithmic bound; the component minimum is a fixpoint of both steps. */
   private[graft] def propagateLabels(e: DataFrame, maxIter: Int, parts: Int): (DataFrame, Int) = {
+    val sc = e.sparkSession.sparkContext
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("src")).localCheckpoint()
+    val beforeInit = sc.getPersistentRDDs.keySet.toSet
     var labels = sym.select(col("src").as("vid")).distinct()
       .select(col("vid"), col("vid").as("label"))
       .localCheckpoint()
     var iter = 0
     var converged = false
+    // checkpoint blocks the next round frees (seeded with the initial labels)
+    var prevRoundIds = sc.getPersistentRDDs.keySet.toSet -- beforeInit
     while (iter < maxIter && !converged) {
+      val beforeIds = sc.getPersistentRDDs.keySet.toSet
       val neighborMin = sym
         .join(labels.withColumnRenamed("vid", "dst"), "dst")
         .groupBy(col("src"))
         .agg(min(col("label")).as("nlabel"))
         .withColumnRenamed("src", "vid")
+      // checkpoint before the self-join: hopped feeds BOTH sides, and
+      // Catalyst specializes each consumer's subplan so ReuseExchange never
+      // fires (see saltedBucketPairs) — un-materialized, the expensive
+      // sym⋈labels shuffle-aggregate would execute twice every round
       val hopped = labels
         .join(neighborMin, Seq("vid"), "left")
         .select(col("vid"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
       // pointer jump: follow the label's own (hopped) label. The jump target
       // set is keyed by vid, so rename and left-join; a label pointing at a
       // vertex outside the frame cannot happen (labels are member vids).
@@ -793,6 +803,17 @@ object Dedup {
         .localCheckpoint()
       converged = jumped.where(col("label") < col("old")).isEmpty
       labels = jumped.drop("old")
+      // free dead checkpoint blocks: this round's hopped and last round's
+      // labels. Both localCheckpoints are eager and this loop is the only
+      // writer in the session's driver thread, so the round's new persisted
+      // RDD ids are exactly {hopped, jumped} with jumped's the LARGEST
+      // (RDD ids are monotonic) — keep it, release the rest.
+      val newIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+      val keepId = if (newIds.isEmpty) -1 else newIds.max
+      val dead = (newIds - keepId) ++ prevRoundIds
+      sc.getPersistentRDDs.filter { case (id, _) => dead(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      prevRoundIds = if (keepId >= 0) Set(keepId) else Set.empty
       iter += 1
     }
     if (!converged)

@@ -210,20 +210,27 @@ object Kernels {
   def xorMinMinima(hs: ArrayData, seeds: Array[Long]): ArrayData = {
     val n = hs.numElements()
     val p = seeds.length
-    if (n == 0) return new GenericArrayData(new Array[Any](p))
     val mins = new Array[Long](p)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
+    var nonNull = 0
     while (i < n) {
-      val h = hs.getLong(i)
-      var j = 0
-      while (j < p) {
-        val v = h ^ seeds(j)
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      // transform maps a null slot to null and array_min SKIPS nulls —
+      // reading the slot as data would poison every permutation's minimum
+      if (!hs.isNullAt(i)) {
+        nonNull += 1
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < p) {
+          val v = h ^ seeds(j)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
+    // array_min of an empty (or all-null) array is null
+    if (nonNull == 0) return new GenericArrayData(new Array[Any](p))
     new GenericArrayData(mins)
   }
 
@@ -464,9 +471,14 @@ object Kernels {
     val ones = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
-      var b = 0
-      while (b < 64) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      // the builtins twin's `size(filter(hs, bit-set))` drops null slots
+      // from the bit counts while `size(hs)` keeps them in the denominator —
+      // mirror exactly: skip nulls here, threshold against total n below
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 64) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      }
       i += 1
     }
     var out = 0L

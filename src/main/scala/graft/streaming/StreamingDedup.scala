@@ -64,20 +64,44 @@ object StreamingDedup {
     * hence this ordering rather than an in-place overwrite. foreachBatch is
     * a single serial writer, so there is no concurrent-reader window. */
   private def compactBucket(spark: SparkSession, indexDir: String, bucket: Int): Unit = {
+    // sweep tmp dirs orphaned by a crash mid-compaction: foreachBatch is a
+    // single serial writer, so any `.compact-*` dir present at entry is
+    // stale (its moved-in files, if any, are already part of the bucket)
+    Option(new java.io.File(indexDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact-"))
+      .foreach(stale => {
+        Option(stale.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        stale.delete()
+      })
     val dir = new java.io.File(indexDir, s"bucket=$bucket")
     val olds = bucketDataFiles(dir)
     if (olds.length <= CompactAfterFiles) return
     val tmp = new java.io.File(indexDir,
       s".compact-bucket-$bucket-${java.util.UUID.randomUUID()}")
-    // read exactly the listed snapshot of files (never the moved-in result)
+    // read exactly the listed snapshot of files (never the moved-in result).
+    // dropDuplicates on the natural key (one index row per id per band
+    // value): if an earlier pass's input-file delete failed, its rows exist
+    // both in that stuck file and in the compacted file — deduping here
+    // guarantees duplication can never COMPOUND across compactions (each
+    // pass re-collapses to the distinct snapshot), while the write-then-
+    // delete ordering still guarantees rows are never lost.
     spark.read.parquet(olds.map(_.getPath).toIndexedSeq: _*)
+      .dropDuplicates("id", "bv")
       .coalesce(1).write.parquet(tmp.getPath)
     tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { p =>
       java.nio.file.Files.move(p.toPath,
         new java.io.File(dir, p.getName).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    olds.foreach(_.delete())
+    // eager per-file delete (no short-circuit): a failure leaves that file's
+    // rows duplicated until a later compaction both dedups and deletes it —
+    // bounded, logged, and harmless to pair output (confirm ends in distinct)
+    val failed = olds.filterNot(_.delete())
+    if (failed.nonEmpty) System.err.println(
+      s"[streaming-dedup] bucket=$bucket: ${failed.length} input file(s) " +
+        "could not be deleted after compaction; rows stay duplicated until " +
+        "a later compaction pass dedups and removes them")
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
     tmp.delete()
   }

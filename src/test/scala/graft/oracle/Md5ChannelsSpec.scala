@@ -30,14 +30,21 @@ class Md5ChannelsSpec extends AnyFunSuite {
       assert(both.count() > 400)
     }
     // degenerate hash-array shapes the callers' filters normally exclude:
-    // empty (array_min-of-empty = all-null row), singleton, extreme values
+    // empty (array_min-of-empty = all-null row), singleton, extreme values,
+    // and NULL SLOTS (array_min skips nulls; an all-null array is null —
+    // the kernel must mirror both, not read the slot as data)
     val shapes = Seq(
       Seq.empty[Long], Seq(0L), Seq(Long.MaxValue), Seq(1L, Long.MaxValue, 7L))
       .toDF("hs")
-    val both = shapes.select(
-      Md5Channels.xorMinhashMinima(col("hs"), 4).as("fold"),
-      Md5Channels.xorMinhashMinimaBuiltins(col("hs"), 4).as("builtins"))
-    assert(both.where(not(col("fold") <=> col("builtins"))).isEmpty)
+    val nullShapes = Seq(
+      Seq(Some(1L), None, Some(7L)), Seq[Option[Long]](None, None),
+      Seq(None, Some(Long.MaxValue))).toDF("hs")
+    for (df <- Seq(shapes, nullShapes)) {
+      val both = df.select(
+        Md5Channels.xorMinhashMinima(col("hs"), 4).as("fold"),
+        Md5Channels.xorMinhashMinimaBuiltins(col("hs"), 4).as("builtins"))
+      assert(both.where(not(col("fold") <=> col("builtins"))).isEmpty)
+    }
   }
 
   test("codegen'd token n-gram strings == built-ins chain on the callers' domain") {
@@ -87,11 +94,16 @@ class Md5ChannelsSpec extends AnyFunSuite {
       .select(Md5Channels.hashes63(
         Md5Channels.tokenNgramStrings(col("text"), 3)).as("hs"))
     // degenerate shapes: empty (all 64 bits set under ties-up), singleton,
-    // exact tie (two hashes differing in every bit), sign-bit stress
+    // exact tie (two hashes differing in every bit), sign-bit stress, and
+    // NULL SLOTS (`size(filter(...))` drops nulls from the bit counts while
+    // `size(hs)` keeps them in the denominator — the kernel must mirror)
     val shapes = Seq(
       Seq.empty[Long], Seq(0L), Seq(-1L), Seq(0L, -1L),
       Seq(Long.MinValue, Long.MaxValue, 5L)).toDF("hs")
-    for (df <- Seq(real, shapes)) {
+    val nullShapes = Seq(
+      Seq(Some(-1L), None), Seq[Option[Long]](None),
+      Seq(None, Some(0L), Some(-1L))).toDF("hs")
+    for (df <- Seq(real, shapes, nullShapes)) {
       val both = df.select(
         Md5Channels.simhash64Md5(col("hs")).as("fold"),
         Md5Channels.simhash64Md5Builtins(col("hs")).as("builtins"))
