@@ -23,6 +23,12 @@ export SPARK_LOG_DIR="$LOG/daemon-logs"
 export SPARK_PID_DIR="$LOG/pids"
 export SPARK_LOCAL_IP=127.0.0.1
 export SPARK_MASTER_HOST=127.0.0.1
+# Standalone executors IGNORE --conf spark.local.dir (SparkConf warns it is
+# overridden by the cluster manager): shuffle dirs come from the WORKER's
+# SPARK_LOCAL_DIRS, which defaults to disk-backed /tmp. Point it at the same
+# tmpfs the local-mode bench uses, or the cluster legs measure disk I/O the
+# local legs don't pay.
+export SPARK_LOCAL_DIRS=/dev/shm/spark-graft
 SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 JAR=target/scala-2.13/rabbitsketchspark_2.13-0.1.0.jar
 ROUNDS="${CLUSTER_ROUNDS:-3}"
@@ -47,6 +53,13 @@ echo "=== start cluster $(date +%T) ===" | tee -a "$LOG/chain.log"
   >> "$LOG/chain.log" 2>&1
 sleep 6
 
+# Two cluster-sizing confs below are what a real containerized cluster gets
+# for free: (1) -XX:ActiveProcessorCount=1 — a cpuset-limited 1-core executor
+# sees 1 CPU, so its GC/JIT/netty pools size to 1; unpinned on this shared
+# box every executor JVM would size them for all 32 host cores (8 JVMs x
+# ~30 threads oversubscribing the 8-core app). (2) spark.locality.wait=0 —
+# all executors are on one host, so the 3s default process-local wait for
+# persisted blocks is pure idle latency with no data-movement payoff.
 submit() { # submit <total_cores> <tag>
   local cores=$1 tag=$2
   echo "=== submit $tag ($cores cores) $(date +%T) ===" | tee -a "$LOG/chain.log"
@@ -60,6 +73,8 @@ submit() { # submit <total_cores> <tag>
     --conf spark.cores.max="$cores" \
     --conf spark.local.dir=/dev/shm/spark-graft \
     --conf spark.ui.enabled=false \
+    --conf "spark.executor.extraJavaOptions=-XX:ActiveProcessorCount=1" \
+    --conf spark.locality.wait=0s \
     "$JAR" > "$LOG/run_${tag}.log" 2>&1
   grep -h '"cluster_bench"' "$LOG/run_${tag}.log" >> "$LOG/results.jsonl" || true
 }

@@ -59,6 +59,17 @@ per-level minimum across rounds — identical reasoning to the local
 protocol in BENCH/BASELINE.md (one-sided VM noise; interleaving keeps a
 sustained noisy window from skewing one level's minimum).
 
+Cluster sizing (scripts/cluster_bench.sh): three confs give the packed-
+onto-one-box cluster what a real containerized cluster gets for free —
+(1) worker `SPARK_LOCAL_DIRS` points at the same tmpfs the local-mode
+bench uses (standalone executors IGNORE `--conf spark.local.dir`; the
+default is disk-backed /tmp, which taxes the higher-shuffle-rate 8-exec
+level disproportionately); (2) `-XX:ActiveProcessorCount=1` per executor
+JVM, matching a cpuset-limited 1-core container (unpinned, each of the 8
+JVMs sizes GC/JIT/netty pools for all 32 host cores); (3)
+`spark.locality.wait=0` — every executor is on one host, so the 3s
+process-local wait for persisted blocks is pure idle latency.
+
 | cluster size | executors x cores | wall best (s) | throughput (images/s) | all timed walls (s) |
 |---|---|---|---|---|
 | N | 2 x 1-core JVMs | {best[2]:.2f} | {thr[2]:.0f} | {", ".join(f"{w:.1f}" for w in all_walls[2])} |
