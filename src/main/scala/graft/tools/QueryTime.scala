@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryTime {
   def main(args: Array[String]): Unit = {
+    graft.Bench.sweepStaleLocalDirs()
     val names = args.headOption.map(_.split(',').toSeq)
       .getOrElse(Seq("dup_pairs"))
     val runs = if (args.length > 1) args(1).toInt else 2
