@@ -111,12 +111,16 @@ object Bench {
     * here: the repo protocol serializes sbt-forked JVMs, so no live session
     * owns the directory when a main starts. */
   private[graft] def sweepStaleLocalDirs(): Unit = {
-    val root = java.nio.file.Paths.get("/dev/shm/spark-graft")
-    if (java.nio.file.Files.exists(root)) {
-      java.nio.file.Files.walk(root)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    def sweep(f: java.io.File): Unit = {
+      // listFiles-based depth-first instead of Files.walk: the walk stream
+      // holds open directory handles (and was never closed here), and it
+      // throws UncheckedIOException if an entry vanishes mid-traversal —
+      // listFiles snapshots each level and File.delete tolerates absence
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(sweep)
+      f.delete(): Unit
     }
+    val root = new java.io.File("/dev/shm/spark-graft")
+    if (root.exists()) sweep(root)
   }
 
   def main(args: Array[String]): Unit = {

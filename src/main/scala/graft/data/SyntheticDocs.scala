@@ -72,16 +72,27 @@ object SyntheticDocs {
 
   def path(name: String): String = s"/root/repo/gendata/docs_$name.parquet"
 
-  /** generate (if absent) and return the corpus as (doc_id, text). */
+  /** generate (if absent OR generated from a DIFFERENT spec) and return the
+    * corpus as (doc_id, text). The cache key is the name PLUS a `_spec`
+    * sidecar recording the generating Spec: without it, changing Spec
+    * defaults would silently serve the old corpus while reports interpolate
+    * the new spec values — a measurement that misdescribes its own input. */
   def ensure(spark: SparkSession, name: String, spec: Spec = Spec()): DataFrame = {
     val p = path(name)
     val done = new java.io.File(p, "_SUCCESS")
-    if (!done.exists()) {
+    val specFile = new java.io.File(p, "_spec")
+    val want = spec.toString
+    val cachedSpec =
+      if (specFile.isFile)
+        new String(java.nio.file.Files.readAllBytes(specFile.toPath), "UTF-8")
+      else ""
+    if (!done.exists() || cachedSpec != want) {
       import spark.implicits._
       spark.range(0, spec.rows, 1, 64)
         .map(id => (id.toLong, text(spec, id)))
         .toDF("doc_id", "text")
         .write.mode("overwrite").parquet(p)
+      java.nio.file.Files.write(specFile.toPath, want.getBytes("UTF-8")): Unit
     }
     spark.read.parquet(p)
   }

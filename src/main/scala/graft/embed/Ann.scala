@@ -184,7 +184,8 @@ object Ann {
   }
 
   /** deterministic ±1.0 hyperplane matrix (tables × planes × dim) from MD5
-    * (component (t,p,j) = +1 iff md5("hp:t:p:j") low hex digit is even) —
+    * (component (t,p,j) = +1 iff the LOW BIT of the FIRST digest byte of
+    * md5("hp:t:p:j") is 0, i.e. the digest's second hex character is even) —
     * the cross-engine sign source of the oracle-gated twin: the SAME values
     * are embedded as SQL literals in `SparkEntry.oracleSql`, so both engines
     * bucket on identical hyperplanes and the whole LSH output (buckets →

@@ -487,20 +487,39 @@ object Kernels {
     out
   }
 
-  /** value at the first index where the two long arrays agree, or 0L when
-    * they never do (callers compare against a band key that IS a shared
-    * value, so the no-agreement sentinel can never spuriously match — band
-    * keys mix the band index through fmix64 and 0 is not in the image of
-    * any real collision in practice; a 0-valued band key would merely emit
-    * the pair from its cold buckets as well, never lose it). One scan, no
-    * allocation — the ownership predicate of the first-agreeing-band dedup
-    * in [[graft.pipeline.Dedup]]'s all-pairs dense join. */
+  /** first band key SHARED by the two arrays — the ownership predicate of
+    * the first-agreeing-band dedup in [[graft.pipeline.Dedup]]'s all-pairs
+    * dense join. Fast path: one positionwise scan (two docs normally share
+    * a bucket because band i's key agrees at index i). Fallback: if no
+    * index agrees, an O(n²) membership scan finds the first value of `a`
+    * present anywhere in `b` — the pair can still share a bucket through a
+    * CROSS-band 64-bit key collision (~2⁻⁶⁴ per band pair), and without the
+    * fallback a hot collision bucket would suppress the pair's only
+    * emission while the oracle's value-equality join emits it. The fallback
+    * makes ownership total over genuinely shared values, so the dedup is
+    * lossless by construction, not just with high probability; it runs only
+    * in the astronomically rare no-positionwise-agreement case. Returns 0L
+    * when the arrays share no value at all (callers compare against a band
+    * key that IS a shared value, so the sentinel can never spuriously
+    * match). */
   def firstAgreeKey(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0
     while (i < n) {
       val v = a.getLong(i)
       if (v == b.getLong(i)) return v
+      i += 1
+    }
+    val na = a.numElements()
+    val nb = b.numElements()
+    i = 0
+    while (i < na) {
+      val v = a.getLong(i)
+      var j = 0
+      while (j < nb) {
+        if (v == b.getLong(j)) return v
+        j += 1
+      }
       i += 1
     }
     0L

@@ -53,6 +53,23 @@ object StreamingDedup {
       .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
         !f.getName.startsWith(".") && !f.getName.startsWith("_"))
 
+  /** depth-first recursive delete (File.delete refuses non-empty dirs — a
+    * crash mid-write leaves nested `_temporary/...` trees in the tmp dir). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** delete a data file TOGETHER with the `.name.crc` sibling the local
+    * Hadoop ChecksumFileSystem committed next to it — File.delete bypasses
+    * Hadoop, and an orphaned .crc per compacted input would otherwise grow
+    * the bucket listing forever (the exact cost compaction bounds). */
+  private def deleteWithCrc(f: java.io.File): Boolean = {
+    val ok = f.delete()
+    if (ok) new java.io.File(f.getParentFile, s".${f.getName}.crc").delete(): Unit
+    ok
+  }
+
   /** rewrite one over-threshold bucket directory down to a single file.
     * Crash-safe WITHOUT a manifest, by write-then-delete ordering: the
     * compacted file is fully written and moved into the bucket directory
@@ -70,10 +87,7 @@ object StreamingDedup {
     Option(new java.io.File(indexDir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".compact-"))
-      .foreach(stale => {
-        Option(stale.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-        stale.delete()
-      })
+      .foreach(deleteRecursively)
     val dir = new java.io.File(indexDir, s"bucket=$bucket")
     val olds = bucketDataFiles(dir)
     if (olds.length <= CompactAfterFiles) return
@@ -90,6 +104,14 @@ object StreamingDedup {
       .dropDuplicates("id", "bv")
       .coalesce(1).write.parquet(tmp.getPath)
     tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { p =>
+      // move the .crc sibling FIRST so the data file never sits in the
+      // bucket beside a missing checksum Hadoop would then re-create on
+      // overwrite paths; a crash between the two moves leaves only a
+      // harmless orphan .crc in tmp (swept at next entry)
+      val crc = new java.io.File(tmp, s".${p.getName}.crc")
+      if (crc.isFile) java.nio.file.Files.move(crc.toPath,
+        new java.io.File(dir, crc.getName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
       java.nio.file.Files.move(p.toPath,
         new java.io.File(dir, p.getName).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -97,13 +119,12 @@ object StreamingDedup {
     // eager per-file delete (no short-circuit): a failure leaves that file's
     // rows duplicated until a later compaction both dedups and deletes it —
     // bounded, logged, and harmless to pair output (confirm ends in distinct)
-    val failed = olds.filterNot(_.delete())
+    val failed = olds.filterNot(deleteWithCrc)
     if (failed.nonEmpty) System.err.println(
       s"[streaming-dedup] bucket=$bucket: ${failed.length} input file(s) " +
         "could not be deleted after compaction; rows stay duplicated until " +
         "a later compaction pass dedups and removes them")
-    Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-    tmp.delete()
+    deleteRecursively(tmp)
   }
 
   /** run the incremental pipeline over a parquet-backed stream.

@@ -68,6 +68,23 @@ class FunctionsWiringSpec extends AnyFunSuite {
     assert(got > 0.8, s"nested-set containment estimate $got")
   }
 
+  test("first_agree_key: positionwise fast path + cross-band collision fallback") {
+    import spark.implicits._
+    val df = Seq(
+      // positionwise agreement at index 1 wins even though a(0) appears later in b
+      (Array(5L, 7L, 9L), Array(6L, 7L, 5L)),
+      // NO positionwise agreement: the fallback must find the shared value 9
+      // (a cross-band 64-bit key collision — a(2) == b(0)) instead of
+      // returning the 0 sentinel and losing the pair's only hot-bucket owner
+      (Array(1L, 2L, 9L), Array(9L, 3L, 4L)),
+      // fallback scans a in order: first shared value of a, not of b
+      (Array(8L, 2L), Array(2L, 8L)),
+      // nothing shared -> sentinel
+      (Array(1L, 2L), Array(3L, 4L))
+    ).toDF("a", "b").select(gf.first_agree_key(col("a"), col("b")))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(7L, 9L, 8L, 0L))
+  }
+
   test("new functions reachable through registered SQL") {
     graft.spark.functions.registerAll(spark)
     val r = spark.sql(
