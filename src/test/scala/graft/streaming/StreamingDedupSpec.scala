@@ -84,6 +84,21 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(worst._2 <= StreamingDedup.CompactAfterFiles,
       s"bucket ${worst._1} has ${worst._2} files after compaction")
 
+    // the TOTAL listing is bounded too, not just the *.parquet view:
+    // compaction must delete each input's Hadoop .crc sibling (an orphaned
+    // checksum per compacted file would re-grow exactly the listing cost
+    // compaction bounds) and leave no stale .compact-* tmp dirs behind
+    for (d <- bucketDirs) {
+      val all = d.listFiles()
+      val crcs = all.count(_.getName.endsWith(".crc"))
+      val parquets = all.count(_.getName.endsWith(".parquet"))
+      assert(crcs <= parquets,
+        s"bucket ${d.getName}: $crcs orphan .crc files beside $parquets parquet files")
+    }
+    assert(!new java.io.File(s"$outDir/index").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith(".compact-")),
+      "stale .compact-* tmp dir left in the index root")
+
     // lossless: compaction must not drop index rows — one row per (id, band)
     val indexRows = spark.read.parquet(s"$outDir/index").count()
     assert(indexRows === corpus.count() * Dedup.defaultConfig.bands,
