@@ -65,15 +65,25 @@ object SyntheticEmbeddings {
 
   def path(n: Long): String = s"/root/repo/gendata/embeddings_$n.parquet"
 
-  /** generate (if absent) and return the corpus. */
+  /** generate (if absent OR generated under a DIFFERENT seed) and return
+    * the corpus. The path encodes `n` but not `seed` — without the `_spec`
+    * sidecar a seed change would silently serve the old vectors (same
+    * stale-cache class [[SyntheticDocs.ensure]] fixes). */
   def ensure(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     val p = path(n)
-    if (!new java.io.File(p, "_SUCCESS").exists()) {
+    val specFile = new java.io.File(p, "_spec")
+    val want = s"seed=$seed"
+    val cached =
+      if (specFile.isFile)
+        new String(java.nio.file.Files.readAllBytes(specFile.toPath), "UTF-8")
+      else ""
+    if (!new java.io.File(p, "_SUCCESS").exists() || cached != want) {
       import spark.implicits._
       spark.range(0L, n, 1L, 256)
         .map(id => (id, vector(id, seed)))
         .toDF("vec_id", "embedding")
         .write.mode("overwrite").parquet(p)
+      java.nio.file.Files.write(specFile.toPath, want.getBytes("UTF-8")): Unit
     }
     spark.read.parquet(p)
   }

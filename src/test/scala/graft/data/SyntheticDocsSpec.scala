@@ -51,4 +51,24 @@ class SyntheticDocsSpec extends AnyFunSuite {
       assert(new java.io.File(dir, "_spec").isFile)
     } finally rmrf(dir)
   }
+
+  test("SyntheticEmbeddings.ensure regenerates on seed change") {
+    spark.sparkContext.setLogLevel("WARN")
+    val n = 37L
+    val dir = new java.io.File(SyntheticEmbeddings.path(n))
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(dir)
+    try {
+      def firstVec(seed: Long): Seq[Float] =
+        SyntheticEmbeddings.ensure(spark, n, seed)
+          .orderBy("vec_id").head().getSeq[Float](1)
+      val a = firstVec(1L)
+      val b = firstVec(2L) // path is the same — only the sidecar differs
+      assert(a !== b, "seed change served the stale cached vectors")
+      assert(firstVec(2L) === b) // same seed: cache reused, stable
+    } finally rmrf(dir)
+  }
 }
