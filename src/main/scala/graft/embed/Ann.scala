@@ -124,12 +124,12 @@ object Ann {
     // toward the smaller cid via the (sim, -cid) struct order
     def assign(c: DataFrame): DataFrame = {
       base.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("v"), col("cid"),
+        .select(col("vec_id"), col("v"), col("norm"), col("cid"),
           (gf.vec_dot(col("v"), col("cvec")) / (col("norm") * col("cnorm"))).as("sim"))
         .groupBy("vec_id")
-        .agg(first(col("v")).as("v"),
+        .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
           max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
-        .select("vec_id", "v", "cid")
+        .select("vec_id", "v", "norm", "cid")
     }
 
     var it = 0
@@ -146,23 +146,26 @@ object Ann {
     val assigned = assign(cent).localCheckpoint()
     val queries = assigned.where(queryFilter)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        sqrt(gf.vec_dot(col("v"), col("v"))).as("qnorm"))
+        col("norm").as("qnorm"))
     // top-nprobe lists per query without a window sort: collect the
     // (centroids)-element list per query and slice the sorted prefix —
     // struct(-csim, cid) ascending == csim desc with cid tiebreak
     val qProbes = queries.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("cid"),
+      .select(col("query_id"), col("qv"), col("qnorm"), col("cid"),
         (gf.vec_dot(col("qv"), col("cvec")) / (col("qnorm") * col("cnorm"))).as("csim"))
     val probes = qProbes.groupBy("query_id")
-      .agg(first(col("qv")).as("qv"),
+      .agg(first(col("qv")).as("qv"), first(col("qnorm")).as("qnorm"),
         slice(array_sort(collect_list(struct((-col("csim")).as("nsim"), col("cid")))),
           1, nprobe).as("top"))
-      .select(col("query_id"), col("qv"), explode(col("top.cid")).as("cid"))
-    val scored = probes.join(assigned.select(col("cid"), col("vec_id").as("neighbor_id"), col("v")), "cid")
+      .select(col("query_id"), col("qv"), col("qnorm"), explode(col("top.cid")).as("cid"))
+    // the dominant queries×candidates stage pays ONE dot product per pair:
+    // both norms were computed once upstream and carried here — recomputing
+    // them per pair would triple the FLOPs of the re-score
+    val scored = probes.join(
+        assigned.select(col("cid"), col("vec_id").as("neighbor_id"), col("v"), col("norm")), "cid")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(gf.vec_dot(col("qv"), col("v")) /
-          (sqrt(gf.vec_dot(col("qv"), col("qv"))) * sqrt(gf.vec_dot(col("v"), col("v")))), 6).as("sim"))
+        round(gf.vec_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -219,21 +222,27 @@ object Ann {
     * collisions per table, dedup candidate pairs, exact re-score, top-k. */
   private def lshTopKImpl(emb: DataFrame, k: Int, tables: Int,
       queryFilter: Column, bucketBits: Int => Column): DataFrame = {
+    // norm computed ONCE per row and carried through the collision join —
+    // the re-score then pays one dot product per candidate pair instead of
+    // recomputing both vectors' norms pairwise (3× the FLOPs)
     val base = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(gf.vec_dot(col("v"), col("v"))))
     val keyed = base.withColumn("tk", explode(array((0 until tables).map { t =>
         struct(lit(t).as("t"), bucketBits(t).as("b"))
       }: _*)))
-      .select(col("vec_id"), col("v"), col("tk.t").as("t"), col("tk.b").as("b"))
+      .select(col("vec_id"), col("v"), col("norm"), col("tk.t").as("t"), col("tk.b").as("b"))
     val queries = keyed.where(queryFilter)
-      .select(col("t"), col("b"), col("vec_id").as("query_id"), col("v").as("qv"))
-    val cand = keyed.select(col("t"), col("b"), col("vec_id").as("neighbor_id"), col("v"))
+      .select(col("t"), col("b"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val cand = keyed.select(col("t"), col("b"), col("vec_id").as("neighbor_id"),
+        col("v"), col("norm"))
       .join(queries, Seq("t", "b"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("v"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qnorm"),
+        col("v"), col("norm"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand.select(col("query_id"), col("neighbor_id"),
-      round(gf.vec_dot(col("qv"), col("v")) /
-        (sqrt(gf.vec_dot(col("qv"), col("qv"))) * sqrt(gf.vec_dot(col("v"), col("v")))), 6).as("sim"))
+      round(gf.vec_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

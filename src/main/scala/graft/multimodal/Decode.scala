@@ -60,8 +60,13 @@ object Decode {
       .mapPartitions { it =>
         val dec = new ReusableDecoder
         it.map { case (id, bytes) =>
-          val px = dec.decodePixels(bytes)
-          val side = math.sqrt(px.length.toDouble).toInt
+          // report the decoder's ACTUAL dimensions — deriving a side as
+          // sqrt(pixel count) silently assumes square images and reports
+          // both axes wrong on anything else (e.g. 45x45 for a 64x32 input)
+          val img = dec.decodeImage(bytes)
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var luma = 0.0
           var i = 0
           while (i < px.length) {
@@ -69,7 +74,7 @@ object Decode {
             luma += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
             i += 1
           }
-          ImageMeta(id, side, side, luma / px.length, SyntheticImages.dctPhash(px))
+          ImageMeta(id, w, h, luma / px.length, SyntheticImages.dctPhash(px))
         }
       }
   }

@@ -834,7 +834,11 @@ object Dedup {
     * fast path); a 64 GB driver ~125M; past that the distributed
     * label-propagation loop takes over. */
   def clustersLocalThreshold(maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
-    math.max(20000000L, maxHeapBytes / 8 / 64)
+    // upper cap: the local path packs 2 longs/edge into ONE JVM array
+    // (vids), so edge sets past ~2^30 can't be indexed by Int no matter the
+    // heap — a ≥ ~550 GB driver must take the distributed loop, not an
+    // Int-wrapped allocation
+    math.min(1000000000L, math.max(20000000L, maxHeapBytes / 8 / 64))
 
   /** Hybrid fast path: when the duplicate subgraph fits on the driver (edge
     * lists are 16 bytes/edge; 20M edges ≈ 320 MB), collect ONLY the edges,
@@ -858,7 +862,14 @@ object Dedup {
         Iterator.single(buf.result())
       }
       .collect()
-    val nEdges2 = chunks.iterator.map(_.length.toLong).sum.toInt / 2
+    val totalLongs = chunks.iterator.map(_.length.toLong).sum
+    // Long math until proven Int-safe: a silent .toInt here would wrap for
+    // edge sets past 2^30 and build a wrong vid table (the admission
+    // threshold is capped below this, so the guard is belt-and-braces)
+    require(totalLongs <= Int.MaxValue - 8,
+      s"clustersLocal admitted $totalLongs packed longs — past the Int-safe " +
+        "array limit; raise the distributed path's share instead")
+    val nEdges2 = totalLongs.toInt / 2
     // dense-index primitive union-find (no boxing): vids → sorted unique ids
     val vids = new Array[Long](nEdges2 * 2)
     var i = 0

@@ -22,16 +22,22 @@ object Minimizers {
   /** general minimizer set over a stream of 64-bit feature keys. */
   def minimizers(keys: Array[Long], w: Int): Array[Long] = {
     if (keys.isEmpty) return Array.emptyLongArray
+    // hash each key ONCE into a parallel array: the deque re-reads a
+    // position's hash on every pop-comparison and window emission (up to
+    // O(w) times per element on the doc_fingerprints per-row hot path), so
+    // recomputing the ~20-op wang hash there dominated the walk
+    val hs = new Array[Long](keys.length)
+    var i = 0
+    while (i < keys.length) { hs(i) = HashKernels.wangHash64(keys(i), -1L); i += 1 }
     val out = new java.util.TreeSet[java.lang.Long]()
     val deque = new java.util.ArrayDeque[Int]()
-    var i = 0
+    i = 0
     while (i < keys.length) {
-      val x = HashKernels.wangHash64(keys(i), -1L)
+      val x = hs(i)
       while (!deque.isEmpty && deque.peekFirst() <= i - w) deque.pollFirst()
-      while (!deque.isEmpty && !HashKernels.unsignedLess(
-        HashKernels.wangHash64(keys(deque.peekLast()), -1L), x)) deque.pollLast()
+      while (!deque.isEmpty && !HashKernels.unsignedLess(hs(deque.peekLast()), x)) deque.pollLast()
       deque.addLast(i)
-      if (i >= w - 1) out.add(HashKernels.wangHash64(keys(deque.peekFirst()), -1L))
+      if (i >= w - 1) out.add(hs(deque.peekFirst()))
       i += 1
     }
     if (out.isEmpty && keys.nonEmpty) {
@@ -73,10 +79,20 @@ object Minimizers {
       fwd = ((fwd << 2) | c) & bitmask
       rev = (rev >>> 2) | ((3L ^ c) << bitshift)
       if (i >= k - 1 && fwd != rev) {
-        val strand = if (fwd > rev) rev else fwd // canonical = smaller strand
+        // canonical = smaller strand — UNSIGNED, like the reference's
+        // uint64 compare (for k ≤ 31 both strands fit 62 bits, so signed
+        // and unsigned agree here; spelled out for parity)
+        val strand = if (java.lang.Long.compareUnsigned(fwd, rev) > 0) rev else fwd
+        // reference: x = hash64(kmer, mask) << 8 | (uint64_t)kmerSpan
+        // (histoSketch.cpp:156). A negative kmerSpan (early positions of a
+        // w > k window) sign-extends to the SAME bit pattern the C++ cast
+        // produces: a huge uint64 that must never win a window — hence the
+        // deque ordering below must be UNSIGNED like the reference's, or
+        // those sentinel-like keys would signed-compare as the smallest
+        // value and flood the minimizer set
         val x = (HashKernels.wangHash64(strand, bitmask) << 8) | kmerSpan.toLong
         while (!q.isEmpty && q.peekFirst()._2 <= i - w) q.pollFirst()
-        while (!q.isEmpty && q.peekLast()._1 >= x) q.pollLast()
+        while (!q.isEmpty && !HashKernels.unsignedLess(q.peekLast()._1, x)) q.pollLast()
         q.addLast((x, i))
         if (windowIndex >= 0) out.add(q.peekFirst()._1)
       }

@@ -23,7 +23,13 @@ import graft.spark.{functions => gf}
   *
   * State lives in parquet (restart-safe together with the checkpointLocation
   * offsets), keeping the pattern identical to what an Iceberg-backed index
-  * table would do at production scale.
+  * table would do at production scale. foreachBatch delivery is
+  * at-least-once, so each sink states its replay contract explicitly: the
+  * `dup_pairs` sink is EXACTLY-once (each micro-batch overwrites its own
+  * batchId-keyed partition, so a crash-replayed batch rewrites rather than
+  * re-appends); the index append is at-least-once by design — replay
+  * duplicates are healed by compaction's (id, bv) dedup and can only
+  * re-produce already-distinct pairs, never new ones.
   */
 object StreamingDedup {
 
@@ -203,10 +209,20 @@ object StreamingDedup {
             newNew.union(confirmPairs(cols, oldIndex.select("bv", "id", "phash", "tok")))
               .distinct()
           else newNew
+        // IDEMPOTENT pairs sink: foreachBatch is at-least-once — a crash
+        // between this write and the streaming checkpoint's offset commit
+        // replays the whole micro-batch, and a plain append would then
+        // duplicate its pair rows PERMANENTLY (nothing downstream dedups
+        // the sink). Keying the output directory on batchId and overwriting
+        // makes the replay rewrite its own partition instead: exactly-once
+        // pairs. (The index append below stays at-least-once by design —
+        // its duplicates are healed by compaction's (id, bv) dedup and can
+        // only re-produce already-distinct pairs.) Readers of the sink see
+        // `batch` as an extra trailing partition column.
         pairs
           .select(format_string("img_%010d", col("id_a")).as("id_a"),
             format_string("img_%010d", col("id_b")).as("id_b"))
-          .write.mode("append").parquet(pairsDir)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
         // append this batch to the index partitioned by band-key bucket
         // (read-before-overwrite is unsafe; the index is append-only like an
         // Iceberg append commit, and the bucket dirs are its hash partition

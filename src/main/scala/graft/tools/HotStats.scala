@@ -18,10 +18,12 @@ object HotStats {
     val c = if (sys.env.get("SPARK_GRAFT_LITE").contains("1"))
       SyntheticImages.ensureLite(spark, sfDir)
     else SyntheticImages.ensure(spark, sfDir)
-    // match the SHIPPED routing (Dedup.saltedBucketPairs): a run is hot when
-    // members exceed the 16384 cap; pair-dense runs (surviving pairs > the
-    // 8M buffer) also marker out — raw crossPairs > 8M is the computable
-    // upper-bound proxy for that here
+    // match the SHIPPED routing (Dedup.saltedBucketPairs): a run markers out
+    // as hot when members exceed hotThreshold (default 1<<20 — NOT 16384,
+    // which is only BucketRunPairs' initial buffer allocation; runs between
+    // the two are handled inline by the walk); pair-dense runs (surviving
+    // pairs > the 8M buffer) also marker out — raw crossPairs > 8M is the
+    // computable upper-bound proxy for that here
     val hotThreshold = sys.env.getOrElse("SPARK_GRAFT_HOT_THRESHOLD", "1048576").toLong
     val pairCap = (8L << 20)
     def stats(name: String, keyed: org.apache.spark.sql.DataFrame): Unit = {

@@ -284,6 +284,49 @@ class SketchAlgebraSpec extends AnyFunSuite {
     assert(shared > 0.95, s"shared=$shared")
   }
 
+  test("DNA minimizers == unsigned brute-force windowed min (incl. w > k and k ≥ 28)") {
+    // reference semantics (histoSketch.cpp:95-216): x = hash64 << 8 |
+    // (uint64_t)kmerSpan compared as uint64. The two regimes that make
+    // signedness observable: w > k (early kmerSpan ≤ 0 sign-extends to a
+    // huge uint64 that must NEVER win a window) and k ≥ 28 (hash << 8 can
+    // set bit 63). A brute-force windowed min over the same key stream,
+    // compared unsigned, is the oracle.
+    def brute(s: String, k: Int, w: Int): Set[Long] = {
+      val len = s.length
+      if (len < 1 || len < w + k - 1) return Set.empty
+      val nt = Map('A' -> 0L, 'C' -> 1L, 'G' -> 2L, 'T' -> 3L)
+      var fwd = 0L
+      var rev = 0L
+      val bitmask = (1L << (2 * k)) - 1
+      val bitshift = 2L * (k - 1)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      val out = scala.collection.mutable.Set.empty[Long]
+      for (i <- 0 until len) {
+        val windowIndex = i - w + 1
+        val c = nt(s.charAt(i))
+        val kmerSpan = if (windowIndex + 1 < k) windowIndex + 1 else k
+        fwd = ((fwd << 2) | c) & bitmask
+        rev = (rev >>> 2) | ((3L ^ c) << bitshift)
+        if (i >= k - 1 && fwd != rev) {
+          val strand = if (java.lang.Long.compareUnsigned(fwd, rev) > 0) rev else fwd
+          val x = (HashKernels.wangHash64(strand, bitmask) << 8) | kmerSpan.toLong
+          entries += ((x, i))
+          if (windowIndex >= 0) {
+            val window = entries.filter(_._2 > i - w).map(_._1)
+            out += window.min(Ordering.fromLessThan[Long](
+              (a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
+          }
+        }
+      }
+      out.toSet
+    }
+    val g = new SplitMix64(101)
+    val s = (0 until 800).map(_ => "ACGT"(((g.nextLong() >>> 1) % 4).toInt)).mkString
+    for ((k, w) <- Seq((4, 20), (7, 31), (21, 20), (30, 12), (28, 40)))
+      assert(Minimizers.dnaMinimizers(s, k, w).toSet === brute(s, k, w),
+        s"divergence at k=$k w=$w")
+  }
+
   test("kmer spectrum: total frequency = minimizer count") {
     val m = Minimizers.dnaMinimizers("ACGTTGCAACGGTTAACCGGTTAA" * 50, 7, 5)
     val spec = Minimizers.kmerSpectrum(m, 1024)

@@ -104,6 +104,15 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(indexRows === corpus.count() * Dedup.defaultConfig.bands,
       "index row count != rows × bands: compaction lost or duplicated rows")
 
+    // exactly-once pairs sink contract: batchId-keyed partitions (so a
+    // crash-replayed micro-batch overwrites its own output) and no
+    // duplicate pair rows anywhere in the sink
+    val sink = spark.read.parquet(s"$outDir/dup_pairs")
+    assert(sink.columns.contains("batch"), "pairs sink is not batchId-partitioned")
+    assert(sink.select("id_a", "id_b").count() ===
+      sink.select("id_a", "id_b").distinct().count(),
+      "duplicate pair rows in the sink")
+
     // unchanged output: the streamed pair set still matches the batch channel
     val got = spark.read.parquet(s"$outDir/dup_pairs")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
