@@ -104,6 +104,11 @@ object SyntheticImages {
   }
 
   def dctPhash(pixels: Array[Int]): Long = {
+    // contract: exactly one Size×Size frame — callers resample first
+    // (Decode.imageMeta); anything else must fail loudly, not hash a
+    // truncated or overrun buffer
+    require(pixels.length == Size * Size,
+      s"dctPhash expects ${Size}x$Size pixels, got ${pixels.length}")
     val gray = new Array[Double](Size * Size)
     var i = 0
     while (i < pixels.length) {

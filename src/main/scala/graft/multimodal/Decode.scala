@@ -74,7 +74,24 @@ object Decode {
             luma += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
             i += 1
           }
-          ImageMeta(id, w, h, luma / px.length, SyntheticImages.dctPhash(px))
+          // pHash contract: DCT over a Size×Size (32×32) resample — the
+          // corpus generates at that size (no-op there), anything else is
+          // bilinear-downsampled first; dctPhash itself requires the exact
+          // pixel count rather than silently truncating
+          val ppx =
+            if (w == SyntheticImages.Size && h == SyntheticImages.Size) px
+            else {
+              val sq = new java.awt.image.BufferedImage(SyntheticImages.Size,
+                SyntheticImages.Size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = sq.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, SyntheticImages.Size, SyntheticImages.Size, null)
+              g.dispose()
+              sq.getRGB(0, 0, SyntheticImages.Size, SyntheticImages.Size,
+                null, 0, SyntheticImages.Size)
+            }
+          ImageMeta(id, w, h, luma / px.length, SyntheticImages.dctPhash(ppx))
         }
       }
   }

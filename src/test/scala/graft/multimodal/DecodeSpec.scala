@@ -39,6 +39,22 @@ class DecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("imageMeta: NON-square image reports true width x height") {
+    // the synthetic corpus is all square, so only this case catches a
+    // dims-from-sqrt(pixel-count) regression (45x45 for a 64x32 input)
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64)
+      img.setRGB(x, y, ((x * 3) << 16) | ((y * 5) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq(("img_0000000001", bos.toByteArray)).toDF("image_id", "bytes")
+    val m = Decode.imageMeta(df).collect().head
+    assert(m.w_dec === 64 && m.h_dec === 32, s"got ${m.w_dec}x${m.h_dec}")
+    assert(m.mean_luma > 0.0 && m.mean_luma < 255.0)
+  }
+
   test("imageResize: output decodes to the target dims") {
     val rs = Decode.imageResize(corpus.limit(8), 16, 16).collect()
     assert(rs.length === 8)
