@@ -115,8 +115,11 @@ object Bench {
       // listFiles-based depth-first instead of Files.walk: the walk stream
       // holds open directory handles (and was never closed here), and it
       // throws UncheckedIOException if an entry vanishes mid-traversal —
-      // listFiles snapshots each level and File.delete tolerates absence
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(sweep)
+      // listFiles snapshots each level and File.delete tolerates absence.
+      // Never recurse through a symlink: delete the link itself, not its
+      // target's contents (listFiles follows links, unlike Files.walk).
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(sweep)
       f.delete(): Unit
     }
     val root = new java.io.File("/dev/shm/spark-graft")

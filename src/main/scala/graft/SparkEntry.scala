@@ -188,6 +188,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // estimator-ACCURACY gate for the two estimator families whose values
+    // are engine-local by design (CWS weighted jaccard, HLL joint-MLE):
+    // exact companion VALUES (token-tf weighted jaccard, shingle-set
+    // jaccard) are computed in both engines; |est − exact| ≤ bound rides as
+    // boolean columns the oracle asserts TRUE — see Md5Channels.docEstAccuracy
+    "doc_est_accuracy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Md5Channels.docEstAccuracy(d, DocOps.ngramDupPairsExact(d, 3, 0.6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // sketch-estimator showcase on near-dup candidate pairs (estimates →
     // rows-only): bottom-k jaccard + mash distance + containment + OMH +
     // CWS weighted jaccard + per-doc HLL jaccard, one row per candidate pair
@@ -612,6 +623,43 @@ object SparkEntry {
            |        END, 6) AS mash_dist,
            |  n_distinct_a, n_distinct_b, n_inter
            |FROM f ORDER BY id_a, id_b""".stripMargin,
+
+      // exact VALUE companions computed independently in DuckDB; the
+      // booleans are asserted as literal TRUE — a hash-match gates the
+      // engine-local CWS / HLL-joint-MLE estimates against their exact
+      // counterparts within the documented bounds (Md5Channels.docEstAccuracy)
+      "doc_est_accuracy" ->
+        s"""WITH pr AS ($docNgramPairsSql),
+           |tf AS (SELECT doc_id, tok, count(*) AS c
+           |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |             FROM $docsT)
+           |       GROUP BY doc_id, tok),
+           |wa AS (SELECT pr.id_a, pr.id_b, tf.tok, tf.c AS ca
+           |       FROM pr JOIN tf ON tf.doc_id = pr.id_a),
+           |wb AS (SELECT pr.id_a, pr.id_b, tf.tok, tf.c AS cb
+           |       FROM pr JOIN tf ON tf.doc_id = pr.id_b),
+           |w AS (SELECT coalesce(wa.id_a, wb.id_a) AS id_a,
+           |        coalesce(wa.id_b, wb.id_b) AS id_b,
+           |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+           |      FROM wa FULL OUTER JOIN wb
+           |        ON wa.id_a = wb.id_a AND wa.id_b = wb.id_b AND wa.tok = wb.tok),
+           |wj AS (SELECT id_a, id_b,
+           |         sum(least(ca, cb))::DOUBLE / sum(greatest(ca, cb))::DOUBLE AS wj_exact
+           |       FROM w GROUP BY id_a, id_b),
+           |sk AS (SELECT doc_id,
+           |         list_sort(list_distinct(list_transform(range(1, length(text) - 6),
+           |           i -> ${h63("substr(text, i::INT, 8)")}))) AS hf
+           |       FROM $docsT WHERE length(text) >= 8),
+           |sj AS (SELECT pr.id_a, pr.id_b,
+           |         len(list_intersect(a.hf, b.hf))::DOUBLE /
+           |         (len(a.hf) + len(b.hf) - len(list_intersect(a.hf, b.hf)))::DOUBLE
+           |           AS shingle_j_exact
+           |       FROM pr JOIN sk a ON a.doc_id = pr.id_a
+           |               JOIN sk b ON b.doc_id = pr.id_b)
+           |SELECT wj.id_a, wj.id_b, wj_exact, shingle_j_exact,
+           |  TRUE AS wjaccard_ok, TRUE AS hll_mle_ok
+           |FROM wj JOIN sj ON wj.id_a = sj.id_a AND wj.id_b = sj.id_b
+           |ORDER BY wj.id_a, wj.id_b""".stripMargin,
 
       "doc_stats" ->
         s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM $docsT),

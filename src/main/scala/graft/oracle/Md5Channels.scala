@@ -483,4 +483,88 @@ object Md5Channels {
       .select("id_a", "id_b", "bk_jaccard", "containment", "card_a", "card_b",
         "mash_dist", "n_distinct_a", "n_distinct_b", "n_inter")
   }
+
+  /** Estimator-accuracy gate for the two estimator families whose VALUES are
+    * engine-local by design (VERDICT r4 #5/#6): CWS weighted jaccard (the
+    * gamma-draw sequence is our own documented generator, SURVEY §7.4-4) and
+    * HLL ERTL joint-MLE jaccard (secant solver over joint register stats).
+    * Per candidate pair the row carries:
+    *
+    *  - `wj_exact` — EXACT weighted jaccard of the token-frequency spectra,
+    *    Σ_t min(tf_a,tf_b) / Σ_t max(tf_a,tf_b): integer sums, one final
+    *    double division → cross-engine-reproducible VALUE column;
+    *  - `shingle_j_exact` — EXACT jaccard of the distinct char-k-shingle
+    *    sets (md5-63 hashed, the [[docSketchEstimatesMd5]] companions'
+    *    construction) → cross-engine-reproducible VALUE column;
+    *  - `wjaccard_ok` = |cws_est − wj_exact| ≤ wjBound — the CWS sketch is
+    *    built over per-OCCURRENCE md5-63 token hashes (multiplicity kept, so
+    *    the jump-hash-binned spectrum approximates the token tf spectrum).
+    *    wjBound=0.35 is calibrated to the reference scheme's MEASURED
+    *    behavior, not the ideal-CWS σ = √(J(1−J)/s): the reference's
+    *    histoSketch variant drops Ioffe's floor quantization
+    *    (`histoSketch.cpp:308-357`; y = exp(ln f − c·b) with no ⌊·⌋), which
+    *    makes bins PRESENT IN ONLY ONE DOC win the argmin disproportionately
+    *    — tools.CwsBiasProbe isolates it (5 extra bins on a 150-bin
+    *    spectrum: exact 0.969 → est 0.879; same-support weight changes
+    *    track tightly). On the gate pairs the measured deviation is
+    *    max 0.21 / avg 0.12 (tools.EstAccuracyProbe, sf0.001+sf0.01);
+    *    a broken sketch (garbage slots → est ≈ 0 on these J≈0.9 pairs)
+    *    exceeds 0.5 and fails the gate.
+    *  - `hll_mle_ok` = |hll_jaccard − shingle_j_exact| ≤ hllBound — np=12
+    *    (m=4096 registers) on 10²-10³-element sets keeps the joint-MLE
+    *    within a few percent; hllBound=0.05 (measured max dev 0.008).
+    *
+    * The DuckDB oracle computes both exact VALUE columns independently and
+    * asserts the booleans as literal TRUE — a hash-match therefore gates the
+    * estimators' ACCURACY cross-engine while their raw draws stay
+    * engine-local. */
+  def docEstAccuracy(docs: DataFrame, pairs: DataFrame, shingleK: Int = 8,
+      cwsSketchSize: Int = 256, cwsBins: Int = 4096, np: Int = 12,
+      wjBound: Double = 0.35, hllBound: Double = 0.05): DataFrame =
+    docEstAccuracyDebug(docs, pairs, shingleK, cwsSketchSize, cwsBins, np,
+      wjBound, hllBound)
+      .select("id_a", "id_b", "wj_exact", "shingle_j_exact",
+        "wjaccard_ok", "hll_mle_ok")
+
+  /** [[docEstAccuracy]] with the raw estimate columns kept — the bound-
+    * calibration surface (tools.EstAccuracyProbe) and spec introspection. */
+  private[graft] def docEstAccuracyDebug(docs: DataFrame, pairs: DataFrame,
+      shingleK: Int = 8, cwsSketchSize: Int = 256, cwsBins: Int = 4096,
+      np: Int = 12, wjBound: Double = 0.35, hllBound: Double = 0.05): DataFrame = {
+    import graft.spark.{functions => gf}
+    val occHashes = transform(split(col("text"), " "), t => md5half63(t))
+    val sk = docs
+      .where(length(col("text")) >= shingleK)
+      .select(col("doc_id"),
+        gf.cws_sketch(occHashes, cwsSketchSize, cwsBins, 1L).as("cws"),
+        gf.hll_init(gf.caption_shingles(col("text"), shingleK), np).as("hll"),
+        array_sort(array_distinct(hashes63(charShingleStrings(col("text"), shingleK))))
+          .as("hf"))
+    // token-frequency spectra (tok → occurrence count); the exact weighted
+    // jaccard is assembled per pair via a full-outer join on (pair, tok) —
+    // shuffle keys are (id, tok), never all-pairs, so the shape holds at scale
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val wa = pairs.join(tf.toDF("id_a", "tok", "ca"), "id_a")
+    val wb = pairs.join(tf.toDF("id_b", "tok", "cb"), "id_b")
+    val wj = wa.join(wb, Seq("id_a", "id_b", "tok"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+      .groupBy("id_a", "id_b")
+      .agg((sum(least(col("ca"), col("cb"))).cast("double") /
+        sum(greatest(col("ca"), col("cb"))).cast("double")).as("wj_exact"))
+    pairs
+      .join(sk.toDF("id_a", "cws_a", "hll_a", "hf_a"), "id_a")
+      .join(sk.toDF("id_b", "cws_b", "hll_b", "hf_b"), "id_b")
+      .join(wj, Seq("id_a", "id_b"))
+      .withColumn("n_inter", size(array_intersect(col("hf_a"), col("hf_b"))))
+      .withColumn("shingle_j_exact", col("n_inter").cast("double") /
+        (size(col("hf_a")) + size(col("hf_b")) - col("n_inter")).cast("double"))
+      .withColumn("cws_est", gf.weighted_jaccard(col("cws_a"), col("cws_b")))
+      .withColumn("hll_est", gf.hll_jaccard(col("hll_a"), col("hll_b")))
+      .select(col("id_a"), col("id_b"), col("wj_exact"), col("shingle_j_exact"),
+        col("cws_est"), col("hll_est"),
+        (abs(col("cws_est") - col("wj_exact")) <= wjBound).as("wjaccard_ok"),
+        (abs(col("hll_est") - col("shingle_j_exact")) <= hllBound).as("hll_mle_ok"))
+  }
 }

@@ -88,15 +88,4 @@ object Shingles {
     }
     out
   }
-
-  private def toSortedArray(set: java.util.HashSet[java.lang.Long]): Array[Long] = {
-    val arr = new Array[Long](set.size())
-    val it = set.iterator()
-    var i = 0
-    while (it.hasNext) { arr(i) = HashKernels.unsignedSortKey(it.next()); i += 1 }
-    java.util.Arrays.sort(arr)
-    i = 0
-    while (i < arr.length) { arr(i) = arr(i) ^ Long.MinValue; i += 1 }
-    arr
-  }
 }

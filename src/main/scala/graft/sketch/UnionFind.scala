@@ -2,8 +2,8 @@ package graft.sketch
 
 /** Local union-find (path halving + union by min-id). Used by tests as the
   * exact oracle for connected components, and inside partition-local
-  * pre-clustering. The dataset-scale variant is the iterative
-  * large-star/small-star DataFrame loop in `graft.pipeline.Clustering`
+  * pre-clustering. The dataset-scale variant is the hybrid driver/distributed
+  * connected-components in `graft.pipeline.Dedup.clusters`
   * (replacing the reference's O(N²) all-vs-all loop,
   * `/root/reference/examples/main.cpp:98-106`).
   */

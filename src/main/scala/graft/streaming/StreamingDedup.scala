@@ -60,9 +60,12 @@ object StreamingDedup {
         !f.getName.startsWith(".") && !f.getName.startsWith("_"))
 
   /** depth-first recursive delete (File.delete refuses non-empty dirs — a
-    * crash mid-write leaves nested `_temporary/...` trees in the tmp dir). */
+    * crash mid-write leaves nested `_temporary/...` trees in the tmp dir).
+    * Never recurses through a symlink: the link itself is deleted, not its
+    * target's contents (listFiles follows links, unlike Files.walk). */
   private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
 
@@ -110,18 +113,31 @@ object StreamingDedup {
       .dropDuplicates("id", "bv")
       .coalesce(1).write.parquet(tmp.getPath)
     tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { p =>
-      // move the .crc sibling FIRST so the data file never sits in the
-      // bucket beside a missing checksum Hadoop would then re-create on
-      // overwrite paths; a crash between the two moves leaves only a
-      // harmless orphan .crc in tmp (swept at next entry)
+      // move the DATA file first, the .crc sibling second: a crash between
+      // the two moves then leaves the orphan .crc in tmp, where the
+      // `.compact-*` sweep at next entry removes it. (The old crc-first
+      // order stranded the .crc in the bucket dir — a place no sweep ever
+      // touches — whenever the crash hit between the moves.) A data file
+      // briefly lacking its .crc is safe: ChecksumFileSystem skips
+      // verification when the sibling is absent, and the defensive orphan
+      // sweep below clears any .crc that still loses its data file.
+      java.nio.file.Files.move(p.toPath,
+        new java.io.File(dir, p.getName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
       val crc = new java.io.File(tmp, s".${p.getName}.crc")
       if (crc.isFile) java.nio.file.Files.move(crc.toPath,
         new java.io.File(dir, crc.getName).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-      java.nio.file.Files.move(p.toPath,
-        new java.io.File(dir, p.getName).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    // defensive sweep: remove any `.name.crc` whose data file is gone
+    // (e.g. left by a crash under the pre-fix move order) so the bucket
+    // listing — the exact cost compaction bounds — cannot grow stale
+    // checksum entries forever
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".") && f.getName.endsWith(".crc"))
+      .filterNot(f => new java.io.File(dir,
+        f.getName.stripPrefix(".").stripSuffix(".crc")).isFile)
+      .foreach(_.delete(): Unit)
     // eager per-file delete (no short-circuit): a failure leaves that file's
     // rows duplicated until a later compaction both dedups and deletes it —
     // bounded, logged, and harmless to pair output (confirm ends in distinct)
@@ -131,6 +147,34 @@ object StreamingDedup {
         "could not be deleted after compaction; rows stay duplicated until " +
         "a later compaction pass dedups and removes them")
     deleteRecursively(tmp)
+  }
+
+  /** The pairs sink changed layout from flat appended files to `batch=N`
+    * partition dirs (the exactly-once overwrite key). A checkpoint resumed
+    * from the old layout would mix flat files with partition dirs, which
+    * `spark.read.parquet(pairsDir)` cannot read consistently — so at stream
+    * start any flat parquet files are moved into a `batch=-1` partition
+    * (an id no real micro-batch can claim: batchIds start at 0, so no
+    * replay ever overwrites it). Readers see the legacy rows under
+    * batch = -1; .crc siblings travel with their data files. */
+  private def migrateLegacyFlatPairs(pairsDir: String): Unit = {
+    val dir = new java.io.File(pairsDir)
+    val flat = bucketDataFiles(dir)
+    if (flat.isEmpty) return
+    val legacy = new java.io.File(dir, "batch=-1")
+    legacy.mkdirs()
+    flat.foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(legacy, f.getName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      val crc = new java.io.File(dir, s".${f.getName}.crc")
+      if (crc.isFile) java.nio.file.Files.move(crc.toPath,
+        new java.io.File(legacy, crc.getName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+    // the flat layout's _SUCCESS marker would otherwise sit beside the
+    // partition dirs as a zero-length data candidate
+    new java.io.File(dir, "_SUCCESS").delete(): Unit
   }
 
   /** run the incremental pipeline over a parquet-backed stream.
@@ -146,6 +190,7 @@ object StreamingDedup {
 
     val indexDir = s"$outDir/index"
     val pairsDir = s"$outDir/dup_pairs"
+    migrateLegacyFlatPairs(pairsDir)
 
     stream.writeStream
       .option("checkpointLocation", s"$outDir/checkpoint")

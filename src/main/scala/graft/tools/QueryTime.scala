@@ -18,6 +18,7 @@ object QueryTime {
     val runs = if (args.length > 1) args(1).toInt else 2
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     def session(): SparkSession = {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -35,7 +36,14 @@ object QueryTime {
       val fn = graft.SparkEntry.queries(name)
       val s = session()
       s.sparkContext.setLogLevel("WARN")
-      try { fn(s, "/root/testdata/sf0.001").count() } catch { case _: Throwable => }
+      // a failed warmup must be VISIBLE: silently skipping it folds
+      // JIT/classload cost into the first "warm" wall and skews the
+      // code-vs-code comparison this tool exists to make
+      try { fn(s, warmDir).count(): Unit } catch {
+        case t: Throwable => println(
+          s"QUERYTIME $name WARMUP FAILED ($warmDir): ${t.getClass.getName}: " +
+            s"${t.getMessage} — first wall below includes JIT/classload cost")
+      }
       val walls = (1 to runs).map { i =>
         val t0 = System.nanoTime()
         fn(s, sfDir).count()
