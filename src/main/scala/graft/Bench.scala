@@ -104,6 +104,43 @@ object Bench {
       catch { case _: Throwable => None }
     }
 
+  @volatile private var calSink = 0L // defeat dead-code elimination of the probes
+
+  /** Deterministic host-drift calibration probe (VERDICT r4 #1): a pinned
+    * amount of pure-JVM hash work whose WALL varies only with host
+    * contention, measured single-threaded and on all cores. The multi-core
+    * leg is the decision signal — co-tenant contention steals
+    * proportionally more from a 32-thread window, which is exactly the
+    * regime the headline queries run in; the single-thread leg is published
+    * for diagnosis. Work is fixed (no Date/random), so the ratio
+    * wall / session-minimum is a unitless noise factor. */
+  private[graft] def calibrate(): (Double, Double) = {
+    import graft.hash.HashKernels.fmix64Seeded
+    def loop(n: Long, seed: Long): Long = {
+      var acc = seed; var i = 0L
+      while (i < n) { acc ^= fmix64Seeded(i, acc); i += 1 }
+      acc
+    }
+    var t0 = System.nanoTime()
+    calSink ^= loop(150000000L, 1L) // ~0.4 s quiet-host nominal
+    val single = (System.nanoTime() - t0) / 1e9
+    val threads = Runtime.getRuntime.availableProcessors()
+    val accs = new Array[Long](threads)
+    val ts = (0 until threads).map { k =>
+      new Thread(() => accs(k) = loop(60000000L, k + 1L))
+    }
+    t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val multi = (System.nanoTime() - t0) / 1e9
+    calSink ^= accs.sum
+    (single, multi)
+  }
+
+  /** one headline-query attempt: bracketing calibration probes around a
+    * fresh-session warm best-of-2 measurement. */
+  private final case class Attempt(wall: Double, calBefore: (Double, Double),
+    calAfter: (Double, Double))
+
   /** Remove stale tmpfs shuffle dirs from KILLED earlier runs. `session`
     * points spark.local.dir at /dev/shm for measurement stability, and a
     * SIGKILL'd JVM never cleans its dirs — orphans have been measured
@@ -151,17 +188,49 @@ object Bench {
     // ever slower than the job's true cost — so the minimum of two timed runs
     // in the same warm session is the faithful per-query estimate (same rule
     // the scaling protocol and BENCH/SCALE.md's decode leg already use).
+    // SELF-QUALIFYING against host drift (VERDICT r4 #1): every attempt is
+    // bracketed by deterministic calibration probes; after the first sweep,
+    // any query whose bracket walls exceed 1.3× the session's probe minimum
+    // is RE-RUN once (the published number then takes the quieter attempt),
+    // and a query still outside the band is published with noisy=true so a
+    // drift-corrupted wall can never pose as a clean measurement.
+    val NoisyBand = 1.3
     val skipHeadline = sys.env.get("SPARK_GRAFT_HEADLINE").contains("0")
     val headlineNames = if (skipHeadline) Seq.empty[String] else headline
-    val queryTimes = headlineNames.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val s1 = session(cpus)
-        s1.sparkContext.setLogLevel("WARN")
-        try { fn(s1, "/root/testdata/sf0.001").count() } catch { case _: Throwable => }
-        val walls = bestOf(2) { fn(s1, sfDir).count() }
-        s1.stop()
-        name -> (if (walls.nonEmpty) walls.min else -1.0) // -1 marks a failed query, never a time
-      }
+    val probePool = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    if (headlineNames.nonEmpty) { calibrate(): Unit } // JIT-warm the probe itself (discarded)
+    def attemptQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Attempt = {
+      val before = calibrate(); probePool += before
+      val s1 = session(cpus)
+      s1.sparkContext.setLogLevel("WARN")
+      try { fn(s1, "/root/testdata/sf0.001").count(): Unit } catch { case _: Throwable => }
+      val walls = bestOf(2) { fn(s1, sfDir).count() }
+      s1.stop()
+      val after = calibrate(); probePool += after
+      Attempt(if (walls.nonEmpty) walls.min else -1.0, before, after)
+    }
+    // noise factor of an attempt's window: the WORSE of the two bracketing
+    // multi-core probes vs the session minimum — conservative on purpose (a
+    // burst starting mid-query shows in the after-probe; a false positive
+    // only costs one bounded re-run)
+    def refMulti: Double = probePool.map(_._2).min
+    def quality(a: Attempt): Double =
+      math.max(a.calBefore._2, a.calAfter._2) / refMulti
+    val firstPass = headlineNames.flatMap { name =>
+      SparkEntry.queries.get(name).map(fn => (name, fn, attemptQuery(fn)))
+    }
+    val qualified = firstPass.map { case (name, fn, a1) =>
+      val best =
+        if (a1.wall < 0 || quality(a1) <= NoisyBand) a1
+        else {
+          val a2 = attemptQuery(fn) // one bounded re-run in a hopefully quieter window
+          if (a2.wall >= 0 && (a1.wall < 0 || a2.wall < a1.wall)) a2 else a1
+        }
+      (name, best)
+    }
+    val queryTimes = qualified.map { case (name, a) => name -> a.wall }
+    val queryCal = qualified.map { case (name, a) =>
+      name -> (quality(a), quality(a) > NoisyBand)
     }
 
     // scaling protocol: identical job, identical input, at 2 / 8 / 32 cores.
@@ -272,19 +341,35 @@ object Bench {
            |Warm best-of-2 per query (fresh session per query; an sf0.001
            |warmup pass pays JIT/codegen compilation outside the timed runs;
            |min of two timed runs — VM noise is one-sided).
+           |SELF-QUALIFYING: each attempt is bracketed by deterministic
+           |all-cores calibration probes (fixed fmix64 work, wall varies only
+           |with host contention); cal_ratio = worse bracket / session probe
+           |minimum. A query whose first attempt exceeded 1.3 was re-run once
+           |and the quieter attempt published; noisy=true marks a wall whose
+           |best attempt STILL sat in a contended window (read it as an upper
+           |bound, not a measurement).
            |
-           || query | seconds |
-           ||---|---|
+           || query | seconds | cal_ratio | noisy |
+           ||---|---|---|---|
            |""".stripMargin +
-        queryTimes.map { case (k, v) => s"| $k | ${f"$v%.2f"} |" }.mkString("", "\n", "\n")
+        qualified.map { case (k, a) =>
+          val (q, n) = (quality(a), quality(a) > NoisyBand)
+          s"| $k | ${f"${a.wall}%.2f"} | ${f"$q%.2f"} | $n |"
+        }.mkString("", "\n", "\n")
       Files.createDirectories(Paths.get("/root/repo/BENCH"))
       Files.writeString(Paths.get("/root/repo/BENCH/BASELINE.md"), md)
     }
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val cal = queryCal.map { case (k, (q, noisy)) =>
+      "\"" + k + "\":{\"cal_ratio\":" + f"$q%.3f" + ",\"noisy\":" + noisy + "}"
+    }.mkString("{", ",", "}")
+    val calRef =
+      if (probePool.isEmpty) "null"
+      else f"{\"multi_min_sec\":${probePool.map(_._2).min}%.3f,\"multi_max_sec\":${probePool.map(_._2).max}%.3f,\"single_min_sec\":${probePool.map(_._1).min}%.3f,\"single_max_sec\":${probePool.map(_._1).max}%.3f,\"probes\":${probePool.length}}"
     val value = if (thr4N > 0) thr4N else queryTimes.map(_._2).sum
     val unit = if (thr4N > 0) "images/sec" else "sec"
     println(
-      s"""{"metric":"images/sec end-to-end sketch->cluster","value":$value,"unit":"$unit","queries":$qs,"sf":"$sfDir","rows":$nRows,"scaling":{"throughput_local2":$thr2,"throughput_local8":$thrN,"throughput_local32":$thr4N,"wall_local2_sec":$t2,"wall_local8_sec":$tN,"wall_local32_sec":$t4N,"efficiency_2_to_8":$eff28,"efficiency_8_to_32":$eff,"efficiency":$eff28}}""")
+      s"""{"metric":"images/sec end-to-end sketch->cluster","value":$value,"unit":"$unit","queries":$qs,"calibration":{"session":$calRef,"queries":$cal},"sf":"$sfDir","rows":$nRows,"scaling":{"throughput_local2":$thr2,"throughput_local8":$thrN,"throughput_local32":$thr4N,"wall_local2_sec":$t2,"wall_local8_sec":$tN,"wall_local32_sec":$t4N,"efficiency_2_to_8":$eff28,"efficiency_8_to_32":$eff,"efficiency":$eff28}}""")
   }
 }
