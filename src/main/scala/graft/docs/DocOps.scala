@@ -52,6 +52,24 @@ object DocOps {
     * hot grams is sacrificed (documented; default keeps exactness). */
   def ngramDupPairsExact(docs: DataFrame, n: Int = 3, tau: Double = 0.6,
       maxDf: Int = Int.MaxValue): DataFrame = {
+    val (pref, gramSets) = ngramPrefixIndex(docs, n, tau, maxDf)
+    val cand = pref.toDF("id_a", "g")
+      .join(pref.toDF("id_b", "g"), "g")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(gramSets.toDF("id_a", "gs_a"), "id_a")
+      .join(gramSets.toDF("id_b", "gs_b"), "id_b")
+      .where(gf.exact_jaccard(col("gs_a"), col("gs_b")) >= tau)
+      .select("id_a", "id_b")
+  }
+
+  /** the n-gram channel's df-ordered prefix index `(doc_id, g)` plus the
+    * per-doc gram sets — factored out so the docscale instrument
+    * (BENCH/SCALE.md) can count the prefix join volume the SHIPPED query
+    * shuffles, without duplicating the index construction. */
+  private[graft] def ngramPrefixIndex(docs: DataFrame, n: Int = 3,
+      tau: Double = 0.6, maxDf: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     val gramSets = docs.select(col("doc_id"), gf.token_ngrams(col("text"), n).as("gs"))
       .where(size(col("gs")) > 0)
     val grams0 = gramSets.select(col("doc_id"), explode(col("gs")).as("g"))
@@ -81,15 +99,7 @@ object DocOps {
       // never fires across the pruned copies; same lesson as
       // Dedup.dupPairsMinhash)
       .localCheckpoint()
-    val cand = pref.toDF("id_a", "g")
-      .join(pref.toDF("id_b", "g"), "g")
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(gramSets.toDF("id_a", "gs_a"), "id_a")
-      .join(gramSets.toDF("id_b", "gs_b"), "id_b")
-      .where(gf.exact_jaccard(col("gs_a"), col("gs_b")) >= tau)
-      .select("id_a", "id_b")
+    (pref, gramSets)
   }
 
   /** banded MinHash LSH near-dup pairs + exact n-gram jaccard confirm.

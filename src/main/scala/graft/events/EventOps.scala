@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
   *    windowed agg; EventOpsSpec asserts batch/stream parity under a
   *    watermark);
   *  - [[sessions]]: gap-based sessionization via relational window
-  *    functions (`lag` + running sum over `Window.partitionBy(user)`), the
-  *    DataFrame form of `session_window`;
+  *    functions (two-phase (user, time-chunk) form — see [[sessionize]]),
+  *    the DataFrame form of `session_window`;
   *  - [[userSessionStats]]: per-user session rollup.
   *
-  * Scale notes: both ops shuffle once on their natural key (window/user) —
-  * the sessionize window sort is per-user and AQE-splittable; no
-  * driver-side state anywhere.
+  * Scale notes: windowedCounts shuffles once on its natural key; sessionize
+  * partitions its heavy sort by (user, time-chunk) so a bot user's history
+  * never serializes one task (the boundary merge runs over per-chunk
+  * summaries, not events); no driver-side state anywhere.
   */
 object EventOps {
 
@@ -41,15 +42,75 @@ object EventOps {
 
   /** gap-based sessionization: a new session starts when a user is idle
     * longer than `gapMinutes`. Emits one row per event with its session id
-    * (user_id, session_seq). */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    * (user_id, session_seq).
+    *
+    * TWO-PHASE, bot-skew-safe (VERDICT r4 #8): the obvious single
+    * `Window.partitionBy(user)` form serializes each user's ENTIRE history
+    * into one task's sort — a single bot user with 10⁸ events pins one task
+    * at 100× scale while every other core drains. Instead:
+    *
+    *  1. the heavy pass partitions by (user, time-chunk of `chunkHours`):
+    *     per-chunk local session seqs + the chunk's first/last timestamp —
+    *     a bot's events now spread across its active chunks, and the
+    *     residual skew unit is events-per-(user, chunk), tunable via
+    *     `chunkHours`;
+    *  2. a per-user pass over CHUNK SUMMARIES (≤ one row per active chunk,
+    *     never per event) decides whether each chunk's first local session
+    *     bridges the previous chunk's last session (actual gap vs the
+    *     threshold — correct across empty chunks) and prefix-sums the
+    *     global session offset: global_seq = offset + local_seq − bridge.
+    *
+    * Output is event-for-event IDENTICAL to the single-window form
+    * (EventOpsSpec: real table + planted bot + chunk-boundary cases);
+    * the driver oracle (`events_sessions`) gates it against DuckDB's own
+    * single-window SQL. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30, chunkHours: Int = 24): DataFrame = {
+    val gapUs = gapMinutes * 60000000L
+    val chunkUs = chunkHours * 3600000000L
+    // exact microsecond arithmetic (oracle parity: DuckDB epoch_us); a
+    // seconds cast would floor-truncate and disagree at gap boundaries. The
+    // timestamp cast handles TIMESTAMP_NTZ sources (UTC session timezone).
+    val ev = events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      // integer `div`, not float division: us values near 2^60 would round
+      // in a double and could mis-chunk a boundary event
+      .withColumn("chunk", expr(s"us div $chunkUs"))
+    val byChunk = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("ts"), col("event_id"))
+    val local = ev
+      .withColumn("prev_us", lag(col("us"), 1).over(byChunk))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("s_local", sum(col("new_session")).over(byChunk))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
+    val offsets = local.groupBy(col("user_id"), col("chunk"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+        max(col("s_local")).as("k"))
+      .withColumn("prev_last", lag(col("last_us"), 1).over(byUser))
+      .withColumn("bridge",
+        when(col("prev_last").isNotNull && col("first_us") - col("prev_last") <= gapUs, 1L)
+          .otherwise(0L))
+      // sessions completed strictly before this chunk: Σ (k − bridge) over
+      // earlier chunks; chunk c's events then number offset+1 … offset+k−bridge
+      .withColumn("offset", coalesce(
+        sum(col("k") - col("bridge"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("user_id"), col("chunk"), col("bridge"), col("offset"))
+    local
+      .join(offsets, Seq("user_id", "chunk"))
+      .withColumn("session_seq", col("offset") + col("s_local") - col("bridge"))
+      .drop("us", "chunk", "prev_us", "new_session", "s_local", "bridge", "offset")
+  }
+
+  /** the single-window formulation — the spec's equivalence baseline for
+    * [[sessionize]] (kept non-shipped: one task sorts a user's whole
+    * history, the exact shape a bot user degrades at scale). */
+  private[graft] def sessionizeWindowed(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      // exact microsecond gap (oracle parity: DuckDB epoch_us); a seconds
-      // cast would floor-truncate and disagree at window boundaries
-      // the cast handles TIMESTAMP_NTZ sources (unix_micros wants TIMESTAMP;
-      // sessions run with a UTC session timezone so the cast is stable)
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
           unix_micros(col("ts").cast("timestamp")) -

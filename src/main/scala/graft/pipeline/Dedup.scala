@@ -735,22 +735,29 @@ object Dedup {
     * emitting unconverged labels would corrupt downstream dedup); at the
     * default 50 that needs a component diameter past ~2^49. */
   def clusters(edges: DataFrame, vertices: DataFrame, maxIter: Int = 50,
-      localThreshold: Long = clustersLocalThreshold()): DataFrame = {
+      localThreshold: Long = clustersLocalThreshold()): DataFrame =
+    clustersInstrumented(edges, vertices, maxIter, localThreshold)._1
+
+  /** [[clusters]] plus the distributed loop's round count (0 on the driver
+    * fast path) — the measurement surface of tools.ScaleBench's `cc` leg. */
+  private[graft] def clustersInstrumented(edges: DataFrame, vertices: DataFrame,
+      maxIter: Int = 50, localThreshold: Long = clustersLocalThreshold()): (DataFrame, Int) = {
     val e = edges.select(idNum(col("id_a")).as("src"), idNum(col("id_b")).as("dst"))
       .localCheckpoint()
     // the dup subgraph is usually tiny relative to the corpus: size the
     // per-round shuffles to the EDGE count, not the session default, so the
     // latency-bound propagation rounds don't drown in task overhead
     val nEdges = e.count()
-    if (nEdges <= localThreshold) return clustersLocal(e, vertices)
-    val labels = propagateLabels(e, maxIter,
+    if (nEdges <= localThreshold) return (clustersLocal(e, vertices), 0)
+    val (labels, rounds) = propagateLabels(e, maxIter,
       math.max(2, math.min(
         vertices.sparkSession.sparkContext.defaultParallelism,
-        (nEdges / 250000L).toInt + 1)))._1
+        (nEdges / 250000L).toInt + 1)))
     val verts = vertices.select(idNum(col("image_id")).as("vid"))
     val all = verts.join(labels, Seq("vid"), "left")
       .select(col("vid"), coalesce(col("label"), col("vid")).as("label"))
-    all.select(idStr(col("vid")).as("image_id"), idStr(col("label")).as("cluster_id"))
+    (all.select(idStr(col("vid")).as("image_id"), idStr(col("label")).as("cluster_id")),
+      rounds)
   }
 
   /** Distributed label loop over numeric edges `(src, dst)`. Returns the

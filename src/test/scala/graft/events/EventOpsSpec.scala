@@ -43,6 +43,54 @@ class EventOpsSpec extends AnyFunSuite {
       (2L, 1L, 1L), (3L, 1L, 2L)))
   }
 
+  test("two-phase sessionize == single-window baseline (bot skew, chunk boundaries)") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "session_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // planted bot: ONE user with 20k events over 12 days (streaks of 10-min
+    // activity with occasional > gap holes), sessions repeatedly spanning
+    // the 24 h chunk boundary; plus normal users, a user active exactly at
+    // a chunk boundary with the gap exactly == threshold (same session),
+    // and a user with multi-day empty chunks between events
+    val botEvents = (0 until 20000).map { i =>
+      // every 100 events jump 45 min (new session); else 5 min steps —
+      // sessions are 100 events ≈ 8.3 h, so most cross a chunk boundary
+      val mins = i.toLong * 5 + (i / 100) * 45
+      (100000L + i, ts(mins), 99L, "bot", 0.0)
+    }
+    val edgeEvents = Seq(
+      // user 50: last event of day 0 at 23:45, first of day 1 at 00:15
+      // (same session, exactly 30 min -> bridged, boundary inclusive)
+      (200001L, ts(23 * 60 + 45), 50L, "view", 1.0),
+      (200002L, ts(24 * 60 + 15), 50L, "view", 1.0),
+      // user 51: events 3 empty chunks apart (days 0, 4) -> two sessions
+      (200003L, ts(10), 51L, "view", 1.0),
+      (200004L, ts(4 * 24 * 60), 51L, "view", 1.0),
+      // user 52: one session spanning THREE chunks (23:50 d0 ... 00:20 d2
+      // via 25-min steps, every inter-event gap < 30 min)
+    ) ++ (0 until 60).map(i =>
+      (200100L + i, ts(23 * 60 + 50 + i * 25L), 52L, "view", 1.0))
+    val df = spark.createDataset(botEvents ++ edgeEvents)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(4)
+    assert(canon(EventOps.sessionize(df)) === canon(EventOps.sessionizeWindowed(df)))
+    // small chunks stress the boundary merge (every session spans chunks)
+    assert(canon(EventOps.sessionize(df, chunkHours = 1)) ===
+      canon(EventOps.sessionizeWindowed(df)))
+    // real driver table
+    val real = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert(canon(EventOps.sessionize(real)) === canon(EventOps.sessionizeWindowed(real)))
+    // the HEAVY (per-event) window must partition by (user, chunk) — the
+    // skew-safety property itself, asserted on the plan: its sort prefix is
+    // [user_id, chunk], which the single-window form never produces
+    val plan = EventOps.sessionize(df).queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(user_id"), plan.take(500))
+    assert("windowspecdefinition\\(user_id[^,]*, chunk".r.findFirstIn(plan).nonEmpty,
+      s"no (user_id, chunk) window in plan:\n${plan.take(1500)}")
+  }
+
   test("userSessionStats rollup") {
     val m = EventOps.userSessionStats(fixture(), gapMinutes = 30)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
