@@ -48,10 +48,11 @@ object StreamingDedup {
   val SaltChunks = 8
 
   /** per-bucket file-count compaction threshold: once a bucket directory
-    * accumulates more than this many parquet files, the bucket is rewritten
-    * as one file. Without this, long-running ingest appends one file per
-    * micro-batch per writing task forever, and every later batch that
-    * touches the bucket pays ever-growing listing + open cost. */
+    * accumulates more than this many parquet files, its smallest ⌈n/2⌉
+    * files are merged into one (size-tiered — see [[compactBucket]]).
+    * Without this, long-running ingest appends one file per micro-batch
+    * forever, and every later batch that touches the bucket pays
+    * ever-growing listing + open cost. */
   val CompactAfterFiles = 8
 
   private def bucketDataFiles(dir: java.io.File): Array[java.io.File] =
@@ -79,36 +80,54 @@ object StreamingDedup {
     ok
   }
 
-  /** rewrite one over-threshold bucket directory down to a single file.
+  /** sweep tmp dirs orphaned by a crash mid-compaction. Called ONCE per
+    * batch from the single-writer foreachBatch thread, BEFORE the bucket
+    * compaction pool starts: any `.compact-*` dir present then is stale
+    * (its moved-in files, if any, are already part of its bucket), and no
+    * live sibling compaction exists yet to race with. */
+  private def sweepStaleCompactionDirs(indexDir: String): Unit =
+    Option(new java.io.File(indexDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact-"))
+      .foreach(deleteRecursively)
+
+  /** merge one over-threshold bucket's SMALLEST ⌈n/2⌉ files into one —
+    * size-tiered, not a full-bucket rewrite. The original policy rewrote
+    * the whole bucket to one file each time it crossed the threshold, so a
+    * bucket's entire accumulated data was re-read and re-written every
+    * compaction — O(N²/K) total write amplification, measured by
+    * StreamBench as a per-batch wall that tracks index size. Merging the
+    * smallest half keeps the file count ≤ CompactAfterFiles while a row's
+    * file roughly doubles each time it participates, so each row is
+    * rewritten O(log N) times over an unbounded ingest.
+    *
     * Crash-safe WITHOUT a manifest, by write-then-delete ordering: the
-    * compacted file is fully written and moved into the bucket directory
+    * merged file is fully written and moved into the bucket directory
     * BEFORE any input file is deleted, so a crash at any point leaves the
     * bucket's row multiset a SUPERSET of the true data. Duplicate index
     * rows are harmless to the pair output (each batch's confirm ends in
     * `distinct()`, and ids are unique per row so a duplicated index row can
     * only re-produce the same pair); LOST rows would silently drop pairs —
     * hence this ordering rather than an in-place overwrite. foreachBatch is
-    * a single serial writer, so there is no concurrent-reader window. */
+    * a single serial writer; concurrent calls for DISTINCT buckets touch
+    * disjoint dirs and unique tmp paths. */
   private def compactBucket(spark: SparkSession, indexDir: String, bucket: Int): Unit = {
-    // sweep tmp dirs orphaned by a crash mid-compaction: foreachBatch is a
-    // single serial writer, so any `.compact-*` dir present at entry is
-    // stale (its moved-in files, if any, are already part of the bucket)
-    Option(new java.io.File(indexDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".compact-"))
-      .foreach(deleteRecursively)
     val dir = new java.io.File(indexDir, s"bucket=$bucket")
-    val olds = bucketDataFiles(dir)
-    if (olds.length <= CompactAfterFiles) return
+    val all = bucketDataFiles(dir)
+    if (all.length <= CompactAfterFiles) return
+    // smallest ⌈n/2⌉ files (ties by name for determinism)
+    val olds = all.sortBy(f => (f.length(), f.getName))
+      .take((all.length + 1) / 2)
     val tmp = new java.io.File(indexDir,
       s".compact-bucket-$bucket-${java.util.UUID.randomUUID()}")
-    // read exactly the listed snapshot of files (never the moved-in result).
+    // read exactly the listed merge set (never the moved-in result).
     // dropDuplicates on the natural key (one index row per id per band
     // value): if an earlier pass's input-file delete failed, its rows exist
-    // both in that stuck file and in the compacted file — deduping here
-    // guarantees duplication can never COMPOUND across compactions (each
-    // pass re-collapses to the distinct snapshot), while the write-then-
-    // delete ordering still guarantees rows are never lost.
+    // both in that stuck file and in the merged file — deduping here keeps
+    // duplication from COMPOUNDING (a duplicate pair collapses whenever its
+    // two holders land in the same merge set, which smallest-half selection
+    // eventually forces), while the write-then-delete ordering still
+    // guarantees rows are never lost.
     spark.read.parquet(olds.map(_.getPath).toIndexedSeq: _*)
       .dropDuplicates("id", "bv")
       .coalesce(1).write.parquet(tmp.getPath)
@@ -271,12 +290,37 @@ object StreamingDedup {
         // append this batch to the index partitioned by band-key bucket
         // (read-before-overwrite is unsafe; the index is append-only like an
         // Iceberg append commit, and the bucket dirs are its hash partition
-        // spec)
+        // spec). Repartition by bucket FIRST: without it every write task
+        // opens a file in every bucket it holds rows for — up to
+        // tasks×buckets files per batch, which pushed every bucket past the
+        // compaction threshold every batch and turned compaction into a
+        // full-index rewrite per batch (StreamBench measured ~24 s/batch on
+        // 580-row batches). One file per touched bucket per batch restores
+        // the intended cadence: a bucket compacts every ~CompactAfterFiles
+        // batches, not every batch.
         keyed.select("bucket", "bv", "id", "phash", "tok")
+          .repartition(col("bucket"))
           .write.mode("append").partitionBy("bucket").parquet(indexDir)
         // size-triggered compaction of the buckets this batch grew: keeps
-        // per-bucket file count bounded over an unbounded ingest
-        batchBuckets.foreach(b => compactBucket(spark, indexDir, b))
+        // per-bucket file count bounded over an unbounded ingest. Stale
+        // `.compact-*` tmp dirs are swept ONCE here — before the pool below
+        // exists — so the sweep can never race a live sibling compaction.
+        sweepStaleCompactionDirs(indexDir)
+        // compactions of DISTINCT buckets touch disjoint dirs and tmp paths:
+        // run them through a small fixed pool so a batch that matures many
+        // buckets pays ~⌈due/8⌉ compaction rounds of wall, not their sum
+        val due = batchBuckets.filter(b =>
+          bucketDataFiles(new java.io.File(indexDir, s"bucket=$b")).length > CompactAfterFiles)
+        if (due.nonEmpty) {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(8, due.length))
+          try {
+            val futures = due.map(b => pool.submit(new Runnable {
+              override def run(): Unit = compactBucket(spark, indexDir, b)
+            }))
+            futures.foreach(_.get())
+          } finally pool.shutdown()
+        }
         ()
       }
       .start()
