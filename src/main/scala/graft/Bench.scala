@@ -148,19 +148,8 @@ object Bench {
     * here: the repo protocol serializes sbt-forked JVMs, so no live session
     * owns the directory when a main starts. */
   private[graft] def sweepStaleLocalDirs(): Unit = {
-    def sweep(f: java.io.File): Unit = {
-      // listFiles-based depth-first instead of Files.walk: the walk stream
-      // holds open directory handles (and was never closed here), and it
-      // throws UncheckedIOException if an entry vanishes mid-traversal —
-      // listFiles snapshots each level and File.delete tolerates absence.
-      // Never recurse through a symlink: delete the link itself, not its
-      // target's contents (listFiles follows links, unlike Files.walk).
-      if (!java.nio.file.Files.isSymbolicLink(f.toPath))
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(sweep)
-      f.delete(): Unit
-    }
     val root = new java.io.File("/dev/shm/spark-graft")
-    if (root.exists()) sweep(root)
+    if (root.exists()) graft.util.Fs.deleteRecursively(root)
   }
 
   def main(args: Array[String]): Unit = {
@@ -210,15 +199,20 @@ object Bench {
       Attempt(if (walls.nonEmpty) walls.min else -1.0, before, after)
     }
     // noise factor of an attempt's window: the WORSE of the two bracketing
-    // multi-core probes vs the session minimum — conservative on purpose (a
-    // burst starting mid-query shows in the after-probe; a false positive
-    // only costs one bounded re-run)
-    def refMulti: Double = probePool.map(_._2).min
-    def quality(a: Attempt): Double =
-      math.max(a.calBefore._2, a.calAfter._2) / refMulti
+    // multi-core probes vs the session's probe minimum — conservative on
+    // purpose (a burst starting mid-query shows in the after-probe; a false
+    // positive only costs one bounded re-run)
     val firstPass = headlineNames.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => (name, fn, attemptQuery(fn)))
     }
+    // the reference is FROZEN after the first sweep: re-run probes landing
+    // in a quieter window must not lower the bar retroactively, or a query
+    // judged clean at decision time could publish noisy=true without ever
+    // getting the re-run the protocol promises (decision and publication
+    // must use the same reference)
+    val refMulti = if (probePool.isEmpty) 1.0 else probePool.map(_._2).min
+    def quality(a: Attempt): Double =
+      math.max(a.calBefore._2, a.calAfter._2) / refMulti
     val qualified = firstPass.map { case (name, fn, a1) =>
       val best =
         if (a1.wall < 0 || quality(a1) <= NoisyBand) a1
@@ -366,7 +360,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val calRef =
       if (probePool.isEmpty) "null"
-      else f"{\"multi_min_sec\":${probePool.map(_._2).min}%.3f,\"multi_max_sec\":${probePool.map(_._2).max}%.3f,\"single_min_sec\":${probePool.map(_._1).min}%.3f,\"single_max_sec\":${probePool.map(_._1).max}%.3f,\"probes\":${probePool.length}}"
+      else f"{\"ref_multi_sec\":$refMulti%.3f,\"multi_min_sec\":${probePool.map(_._2).min}%.3f,\"multi_max_sec\":${probePool.map(_._2).max}%.3f,\"single_min_sec\":${probePool.map(_._1).min}%.3f,\"single_max_sec\":${probePool.map(_._1).max}%.3f,\"probes\":${probePool.length}}"
     val value = if (thr4N > 0) thr4N else queryTimes.map(_._2).sum
     val unit = if (thr4N > 0) "images/sec" else "sec"
     println(

@@ -67,41 +67,51 @@ object EventOps {
   def sessionize(events: DataFrame, gapMinutes: Int = 30, chunkHours: Int = 24): DataFrame = {
     val gapUs = gapMinutes * 60000000L
     val chunkUs = chunkHours * 3600000000L
+    // every internal column is __sess_-prefixed: withColumn CLOBBERS an
+    // existing column of the same name, so plain names like `chunk` or
+    // `offset` (plausible event-log fields) would silently overwrite and
+    // then drop caller data
     // exact microsecond arithmetic (oracle parity: DuckDB epoch_us); a
     // seconds cast would floor-truncate and disagree at gap boundaries. The
     // timestamp cast handles TIMESTAMP_NTZ sources (UTC session timezone).
     val ev = events
-      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("__sess_us", unix_micros(col("ts").cast("timestamp")))
       // integer `div`, not float division: us values near 2^60 would round
       // in a double and could mis-chunk a boundary event
-      .withColumn("chunk", expr(s"us div $chunkUs"))
-    val byChunk = Window.partitionBy(col("user_id"), col("chunk"))
+      .withColumn("__sess_chunk", expr(s"__sess_us div $chunkUs"))
+    val byChunk = Window.partitionBy(col("user_id"), col("__sess_chunk"))
       .orderBy(col("ts"), col("event_id"))
     val local = ev
-      .withColumn("prev_us", lag(col("us"), 1).over(byChunk))
-      .withColumn("new_session",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+      .withColumn("__sess_prev_us", lag(col("__sess_us"), 1).over(byChunk))
+      .withColumn("__sess_new",
+        when(col("__sess_prev_us").isNull ||
+          col("__sess_us") - col("__sess_prev_us") > gapUs, 1L)
           .otherwise(0L))
-      .withColumn("s_local", sum(col("new_session")).over(byChunk))
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
-    val offsets = local.groupBy(col("user_id"), col("chunk"))
-      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"),
-        max(col("s_local")).as("k"))
-      .withColumn("prev_last", lag(col("last_us"), 1).over(byUser))
-      .withColumn("bridge",
-        when(col("prev_last").isNotNull && col("first_us") - col("prev_last") <= gapUs, 1L)
+      .withColumn("__sess_local", sum(col("__sess_new")).over(byChunk))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("__sess_chunk"))
+    val offsets = local.groupBy(col("user_id"), col("__sess_chunk"))
+      .agg(min(col("__sess_us")).as("__sess_first_us"),
+        max(col("__sess_us")).as("__sess_last_us"),
+        max(col("__sess_local")).as("__sess_k"))
+      .withColumn("__sess_prev_last", lag(col("__sess_last_us"), 1).over(byUser))
+      .withColumn("__sess_bridge",
+        when(col("__sess_prev_last").isNotNull &&
+          col("__sess_first_us") - col("__sess_prev_last") <= gapUs, 1L)
           .otherwise(0L))
       // sessions completed strictly before this chunk: Σ (k − bridge) over
       // earlier chunks; chunk c's events then number offset+1 … offset+k−bridge
-      .withColumn("offset", coalesce(
-        sum(col("k") - col("bridge"))
+      .withColumn("__sess_offset", coalesce(
+        sum(col("__sess_k") - col("__sess_bridge"))
           .over(byUser.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("user_id"), col("chunk"), col("bridge"), col("offset"))
+      .select(col("user_id"), col("__sess_chunk"), col("__sess_bridge"),
+        col("__sess_offset"))
     local
-      .join(offsets, Seq("user_id", "chunk"))
-      .withColumn("session_seq", col("offset") + col("s_local") - col("bridge"))
-      .drop("us", "chunk", "prev_us", "new_session", "s_local", "bridge", "offset")
+      .join(offsets, Seq("user_id", "__sess_chunk"))
+      .withColumn("session_seq",
+        col("__sess_offset") + col("__sess_local") - col("__sess_bridge"))
+      .drop("__sess_us", "__sess_chunk", "__sess_prev_us", "__sess_new",
+        "__sess_local", "__sess_bridge", "__sess_offset")
   }
 
   /** the single-window formulation — the spec's equivalence baseline for

@@ -60,15 +60,11 @@ object StreamingDedup {
       .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
         !f.getName.startsWith(".") && !f.getName.startsWith("_"))
 
-  /** depth-first recursive delete (File.delete refuses non-empty dirs — a
-    * crash mid-write leaves nested `_temporary/...` trees in the tmp dir).
-    * Never recurses through a symlink: the link itself is deleted, not its
-    * target's contents (listFiles follows links, unlike Files.walk). */
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  // depth-first, symlink-safe recursive delete (File.delete refuses
+  // non-empty dirs — a crash mid-write leaves nested `_temporary/...`
+  // trees in the tmp dir); shared with Bench's tmpfs sweep
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.util.Fs.deleteRecursively(f)
 
   /** delete a data file TOGETHER with the `.name.crc` sibling the local
     * Hadoop ChecksumFileSystem committed next to it — File.delete bypasses
@@ -131,7 +127,8 @@ object StreamingDedup {
     spark.read.parquet(olds.map(_.getPath).toIndexedSeq: _*)
       .dropDuplicates("id", "bv")
       .coalesce(1).write.parquet(tmp.getPath)
-    tmp.listFiles().filter(_.getName.endsWith(".parquet")).foreach { p =>
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).foreach { p =>
       // move the DATA file first, the .crc sibling second: a crash between
       // the two moves then leaves the orphan .crc in tmp, where the
       // `.compact-*` sweep at next entry removes it. (The old crc-first
@@ -175,11 +172,21 @@ object StreamingDedup {
     * start any flat parquet files are moved into a `batch=-1` partition
     * (an id no real micro-batch can claim: batchIds start at 0, so no
     * replay ever overwrites it). Readers see the legacy rows under
-    * batch = -1; .crc siblings travel with their data files. */
-  private def migrateLegacyFlatPairs(pairsDir: String): Unit = {
+    * batch = -1; .crc siblings travel with their data files.
+    *
+    * Returns true when legacy rows were (or already are) present: the old
+    * layout's tail batch may have written its flat pair files before the
+    * crash whose checkpoint is now being resumed, so the replayed batch
+    * would re-emit pairs that already sit under batch=-1. A pair is
+    * emitted by exactly ONE batch in the normal flow (each id arrives
+    * once, and a pair surfaces only when its second member arrives), so
+    * the caller can anti-join new pairs against batch=-1 without ever
+    * dropping a legitimately new pair — restoring exactly-once across the
+    * layout migration. */
+  private def migrateLegacyFlatPairs(pairsDir: String): Boolean = {
     val dir = new java.io.File(pairsDir)
     val flat = bucketDataFiles(dir)
-    if (flat.isEmpty) return
+    if (flat.isEmpty) return new java.io.File(dir, "batch=-1").isDirectory
     val legacy = new java.io.File(dir, "batch=-1")
     legacy.mkdirs()
     flat.foreach { f =>
@@ -194,6 +201,7 @@ object StreamingDedup {
     // the flat layout's _SUCCESS marker would otherwise sit beside the
     // partition dirs as a zero-length data candidate
     new java.io.File(dir, "_SUCCESS").delete(): Unit
+    true
   }
 
   /** run the incremental pipeline over a parquet-backed stream.
@@ -209,7 +217,7 @@ object StreamingDedup {
 
     val indexDir = s"$outDir/index"
     val pairsDir = s"$outDir/dup_pairs"
-    migrateLegacyFlatPairs(pairsDir)
+    val hasLegacyPairs = migrateLegacyFlatPairs(pairsDir)
 
     stream.writeStream
       .option("checkpointLocation", s"$outDir/checkpoint")
@@ -283,10 +291,20 @@ object StreamingDedup {
         // its duplicates are healed by compaction's (id, bv) dedup and can
         // only re-produce already-distinct pairs.) Readers of the sink see
         // `batch` as an extra trailing partition column.
-        pairs
+        val pairsOut = pairs
           .select(format_string("img_%010d", col("id_a")).as("id_a"),
             format_string("img_%010d", col("id_b")).as("id_b"))
-          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        // layout-migration exactly-once: a checkpoint resumed from the old
+        // flat layout may replay the tail batch whose pairs already sit
+        // under batch=-1 — anti-join them out. Safe because a pair is
+        // emitted by exactly one batch in the normal flow (see
+        // migrateLegacyFlatPairs), so nothing legitimately new is dropped.
+        val dedupedOut =
+          if (!hasLegacyPairs) pairsOut
+          else pairsOut.join(
+            spark.read.parquet(s"$pairsDir/batch=-1").select("id_a", "id_b"),
+            Seq("id_a", "id_b"), "left_anti")
+        dedupedOut.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
         // append this batch to the index partitioned by band-key bucket
         // (read-before-overwrite is unsafe; the index is append-only like an
         // Iceberg append commit, and the bucket dirs are its hash partition
@@ -319,7 +337,18 @@ object StreamingDedup {
               override def run(): Unit = compactBucket(spark, indexDir, b)
             }))
             futures.foreach(_.get())
-          } finally pool.shutdown()
+          } finally {
+            // MUST fully drain before leaving the batch, including on
+            // failure: a compaction thread outliving a failed foreachBatch
+            // would break the single-serial-writer invariant — the
+            // restarted batch's sweep would delete the orphan's live
+            // `.compact-*` tmp dir mid-move. shutdownNow interrupts queued
+            // + running tasks; awaitTermination bounds the drain (a task
+            // ignoring interruption is finished within the wait in practice
+            // — bucket merges are small).
+            pool.shutdownNow()
+            pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES): Unit
+          }
         }
         ()
       }

@@ -443,10 +443,16 @@ object ScaleBench {
           // no measured growth curve
           val (pref, _) = DocOps.ngramPrefixIndex(docs)
           val prefixRows = pref.count()
-          val joinRows = pref.toDF("id_a", "g").join(pref.toDF("id_b", "g"), "g")
-            .where(col("id_a") < col("id_b")).count()
-          val ngramCand = pref.toDF("id_a", "g").join(pref.toDF("id_b", "g"), "g")
-            .where(col("id_a") < col("id_b")).select("id_a", "id_b").distinct().count()
+          // ONE pass over the self-join for both counters (the k=10 join is
+          // 113M rows — building it twice doubled the untimed decomposition's
+          // shuffle): count(*) and distinct-pair count from one aggregation
+          val jr = pref.toDF("id_a", "g").join(pref.toDF("id_b", "g"), "g")
+            .where(col("id_a") < col("id_b"))
+            .agg(count(lit(1)).as("jn"),
+              count_distinct(struct(col("id_a"), col("id_b"))).as("cand"))
+            .head()
+          val joinRows = jr.getLong(0)
+          val ngramCand = jr.getLong(1)
           // minhash channel: e2e wall best-of-2 + run-2 shuffle-write volume
           var mhConfirmed = 0L
           val w1 = timed { mhConfirmed = DocOps.minhashDupPairs(docs).count() }

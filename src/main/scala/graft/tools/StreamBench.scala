@@ -37,16 +37,21 @@ object StreamBench {
     // generation is excluded from all timings. Families are batch-local plus
     // a 10% overlap stride so cross-batch dup pairs exist at every point of
     // the run (the new-vs-index join does real work in every batch).
-    val rows = (0 until nBatches).flatMap { b =>
+    // ONE WRITE PER BATCH GROUP (not a single round-robin repartition, which
+    // stripes every family across all files and would dissolve the
+    // batch-locality the bench documents): sequential appends give the file
+    // source's timestamp ordering the same grouping the generator intends.
+    var nRows = 0L
+    (0 until nBatches).foreach { b =>
       val base = b.toLong * familiesPerBatch * 9 / 10 // 10% family overlap with the previous batch
-      (0 until familiesPerBatch).flatMap { f =>
+      val rows = (0 until familiesPerBatch).flatMap { f =>
         SyntheticImages.family(base + f, 42L, (base + f) * 8)
       }
+      nRows += rows.size
+      spark.createDataset(rows).toDF()
+        .repartition(filesPerBatch)
+        .write.mode("append").parquet(srcDir)
     }
-    val nRows = rows.size.toLong
-    spark.createDataset(rows).toDF()
-      .repartition(nBatches * filesPerBatch)
-      .write.mode("overwrite").parquet(srcDir)
 
     // instrument: per-batch trigger wall from the streaming progress bus,
     // index file count + bytes sampled at each progress event (the listener
@@ -79,6 +84,18 @@ object StreamBench {
     q.processAllAvailable()
     q.stop()
     val totalWall = (System.nanoTime() - t0) / 1e9
+
+    // the progress listener is an ASYNC bus: processAllAvailable guarantees
+    // batch processing, not event delivery — drain until the recorded batch
+    // set stops growing so the final deciles describe the run's actual tail
+    var prevSeen = -1
+    var quiet = 0
+    var waited = 0
+    while (quiet < 4 && waited < 60) { // 1 s of silence, 15 s cap
+      Thread.sleep(250); waited += 1
+      val cur = batches.size
+      if (cur == prevSeen) quiet += 1 else { quiet = 0; prevSeen = cur }
+    }
 
     val bs = batches.values.toSeq.sortBy(_.batchId)
     val nPairs = spark.read.parquet(s"$outDir/dup_pairs").count()

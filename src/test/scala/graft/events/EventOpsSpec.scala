@@ -83,12 +83,19 @@ class EventOpsSpec extends AnyFunSuite {
     val real = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     assert(canon(EventOps.sessionize(real)) === canon(EventOps.sessionizeWindowed(real)))
     // the HEAVY (per-event) window must partition by (user, chunk) — the
-    // skew-safety property itself, asserted on the plan: its sort prefix is
-    // [user_id, chunk], which the single-window form never produces
+    // skew-safety property itself, asserted on the plan. Anchor on the full
+    // spec `partitionBy(user_id, chunk) orderBy(ts, ...)`: the light
+    // summary window (partitionBy(user_id) orderBy(chunk)) ALSO prints
+    // "user_id#…, chunk#…" (its order column follows the partition list),
+    // so requiring `, ts#` right after the chunk token — with no ASC
+    // between, i.e. chunk is a PARTITION column — is what distinguishes
+    // the heavy window from the summary one.
     val plan = EventOps.sessionize(df).queryExecution.optimizedPlan.toString
     assert(plan.contains("windowspecdefinition(user_id"), plan.take(500))
-    assert("windowspecdefinition\\(user_id[^,]*, chunk".r.findFirstIn(plan).nonEmpty,
-      s"no (user_id, chunk) window in plan:\n${plan.take(1500)}")
+    assert(
+      "windowspecdefinition\\(user_id#\\d+L?, __sess_chunk#\\d+L?, ts#".r
+        .findFirstIn(plan).nonEmpty,
+      s"no (user_id, chunk)-partitioned ts-ordered window in plan:\n${plan.take(1500)}")
   }
 
   test("userSessionStats rollup") {

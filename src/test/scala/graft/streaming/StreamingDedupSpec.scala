@@ -163,4 +163,45 @@ class StreamingDedupSpec extends AnyFunSuite {
     val recall = got.intersect(batch).size.toDouble / batch.size
     assert(recall >= 0.99, s"streaming recall $recall (${got.size} vs ${batch.size})")
   }
+
+  test("legacy flat pairs layout: migrated to batch=-1, replayed pairs not duplicated") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val corpus = spark.createDataset(
+      (0L until 120L).flatMap(fid => SyntheticImages.family(fid, 42L, fid * 8))).toDF()
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-legacy-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("stream-legacy-out").toString
+    corpus.repartition(8).write.mode("overwrite").parquet(srcDir)
+
+    // a reference run gives the true pair set
+    val refOut = java.nio.file.Files.createTempDirectory("stream-legacy-ref").toString
+    val q0 = StreamingDedup.start(spark, srcDir, refOut)
+    q0.processAllAvailable(); q0.stop()
+    val truth = spark.read.parquet(s"$refOut/dup_pairs").select("id_a", "id_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(truth.nonEmpty)
+
+    // simulate the OLD layout's crash artifact: a subset of the true pairs
+    // sits as FLAT parquet files directly in dup_pairs (written by the old
+    // appending sink before the crash), with no batch= partitioning
+    val legacySubset = truth.take(math.max(1, truth.size / 2)).toSeq
+    legacySubset.toDF("id_a", "id_b").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/dup_pairs")
+
+    // fresh stream over the same source: migration moves the flat files to
+    // batch=-1, and the per-batch anti-join suppresses the re-emission of
+    // every legacy pair — the union read must equal the truth with NO
+    // duplicates (the old behavior double-counted the replayed tail batch)
+    val q = StreamingDedup.start(spark, srcDir, outDir)
+    q.processAllAvailable(); q.stop()
+    val sink = spark.read.parquet(s"$outDir/dup_pairs")
+    assert(sink.columns.contains("batch"))
+    assert(sink.where(org.apache.spark.sql.functions.col("batch") === -1).count()
+      === legacySubset.size.toLong)
+    val all = sink.select("id_a", "id_b")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(all.length === all.distinct.length,
+      "legacy pairs duplicated across batch=-1 and a replayed batch")
+    assert(all.toSet === truth)
+  }
 }
