@@ -116,6 +116,16 @@ object SyntheticImages {
       gray(i) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
       i += 1
     }
+    dctPhashGray(gray)
+  }
+
+  /** [[dctPhash]] over a precomputed grayscale plane (the same per-pixel
+    * luma formula) — lets Decode.imageMeta share one gray pass between the
+    * mean-luma and the pHash (r6 optimization; bit-identical by construction). */
+  def dctPhashGray(gray: Array[Double]): Long = {
+    require(gray.length == Size * Size,
+      s"dctPhashGray expects ${Size}x$Size pixels, got ${gray.length}")
+    var i = 0
     // separable 2D DCT: row pass then column pass — 8·S² + 64·S mults per
     // image instead of the naive 64·S² (measured 2× on the full decode-meta
     // stage at the 4.25M-row corpus)

@@ -16,12 +16,43 @@ import graft.data.SyntheticImages
   */
 object Decode {
 
+  /** `ImageInputStream` directly over a byte array: skips both the
+    * `ImageIO.createImageInputStream` SPI-registry scan and the
+    * `MemoryCacheImageInputStream` block-cache machinery per image (~2 µs +
+    * garbage per call at 32×32 sizes — r6 optimization). */
+  private final class ByteArrayImageInputStream(b: Array[Byte])
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int = {
+      if (streamPos >= b.length) return -1
+      bitOffset = 0
+      val v = b(streamPos.toInt) & 0xff
+      streamPos += 1
+      v
+    }
+    override def read(dst: Array[Byte], off: Int, len: Int): Int = {
+      if (streamPos >= b.length) return -1
+      bitOffset = 0
+      val n = math.min(len, b.length - streamPos.toInt)
+      System.arraycopy(b, streamPos.toInt, dst, off, n)
+      streamPos += n
+      n
+    }
+    override def length(): Long = b.length.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+  }
+
   /** Per-partition decoder that reuses one ImageReader per format.
     * `ImageIO.read` allocates a fresh reader + runs provider format
     * sniffing per call — at millions of small images per partition that
     * overhead rivals the actual decode. Format is dispatched on the magic
     * bytes (PNG `\x89PNG`, JPEG `\xFF\xD8`), falling back to `ImageIO.read`
-    * for anything else. NOT thread-safe: one instance per partition task. */
+    * for anything else. PNG additionally takes the [[FastPng]] chunk-parse +
+    * reused-Inflater decoder (bit-identical pixels, DecodeSpec) with the
+    * ImageIO reader as fallback for layouts outside its scope, and pixel
+    * extraction reads the raster buffer directly instead of per-pixel
+    * `getRGB` ColorModel dispatch (r6 optimization). NOT thread-safe: one
+    * instance per partition task. */
   final class ReusableDecoder {
     private def readerFor(fmt: String) = {
       val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
@@ -29,23 +60,82 @@ object Decode {
     }
     private val png = readerFor("png")
     private val jpeg = readerFor("jpeg")
+    private val fastPng = new FastPng
+
+    @inline private def isPng(bytes: Array[Byte]): Boolean =
+      bytes.length > 1 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'
+    @inline private def isJpeg(bytes: Array[Byte]): Boolean =
+      bytes.length > 1 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+
+    private def readVia(r: javax.imageio.ImageReader,
+        bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new ByteArrayImageInputStream(bytes)
+      try { r.setInput(iis, true, true); r.read(0) } finally iis.close()
+    }
 
     def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
-      val r =
-        if (bytes.length > 1 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') png
-        else if (bytes.length > 1 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) jpeg
-        else null
-      if (r == null) javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      else {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try { r.setInput(iis, true, true); r.read(0) } finally iis.close()
+      if (isPng(bytes)) {
+        val d = fastPng.decode(bytes)
+        if (d != null) {
+          val img = new java.awt.image.BufferedImage(
+            d.w, d.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          System.arraycopy(d.pixels, 0,
+            img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData,
+            0, d.pixels.length)
+          img
+        } else readVia(png, bytes)
+      } else if (isJpeg(bytes)) readVia(jpeg, bytes)
+      else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    }
+
+    /** packed 0xFFrrggbb pixels of a decoded image — bit-identical to
+      * `getRGB(0,0,w,h,null,0,w)`, taking the direct raster-buffer path for
+      * the two layouts the readers produce here (3BYTE_BGR from JPEG,
+      * INT_RGB from the FastPng wrap). */
+    def imageToRgb(img: java.awt.image.BufferedImage): Array[Int] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      img.getType match {
+        case java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+          val d = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+          val out = new Array[Int](w * h)
+          var i = 0
+          var s = 0
+          while (i < out.length) {
+            out(i) = 0xff000000 | ((d(s + 2) & 0xff) << 16) | ((d(s + 1) & 0xff) << 8) |
+              (d(s) & 0xff)
+            s += 3
+            i += 1
+          }
+          out
+        case java.awt.image.BufferedImage.TYPE_INT_RGB =>
+          val d = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+          val out = new Array[Int](w * h)
+          var i = 0
+          while (i < out.length) { out(i) = 0xff000000 | d(i); i += 1 }
+          out
+        case _ =>
+          img.getRGB(0, 0, w, h, null, 0, w)
       }
     }
 
     def decodePixels(bytes: Array[Byte]): Array[Int] = {
+      if (isPng(bytes)) {
+        val d = fastPng.decode(bytes)
+        if (d != null) return d.pixels
+      }
+      imageToRgb(decodeImage(bytes))
+    }
+
+    /** decode → (w, h, packed pixels) without materializing a BufferedImage
+      * on the PNG fast path (the meta stage needs only dimensions+pixels). */
+    def decodeMeta(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      if (isPng(bytes)) {
+        val d = fastPng.decode(bytes)
+        if (d != null) return (d.w, d.h, d.pixels)
+      }
       val img = decodeImage(bytes)
-      img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+      (img.getWidth, img.getHeight, imageToRgb(img))
     }
   }
 
@@ -63,35 +153,42 @@ object Decode {
           // report the decoder's ACTUAL dimensions — deriving a side as
           // sqrt(pixel count) silently assumes square images and reports
           // both axes wrong on anything else (e.g. 45x45 for a 64x32 input)
-          val img = dec.decodeImage(bytes)
-          val w = img.getWidth
-          val h = img.getHeight
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val (w, h, px) = dec.decodeMeta(bytes)
+          // one gray pass feeds BOTH the mean luma and (at native 32×32) the
+          // DCT pHash — same per-element expression and summation order as
+          // the former two separate loops, so the doubles are bit-identical
+          val gray = new Array[Double](px.length)
           var luma = 0.0
           var i = 0
           while (i < px.length) {
             val p = px(i)
-            luma += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+            val g = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+            gray(i) = g
+            luma += g
             i += 1
           }
           // pHash contract: DCT over a Size×Size (32×32) resample — the
           // corpus generates at that size (no-op there), anything else is
           // bilinear-downsampled first; dctPhash itself requires the exact
           // pixel count rather than silently truncating
-          val ppx =
-            if (w == SyntheticImages.Size && h == SyntheticImages.Size) px
+          val phash =
+            if (w == SyntheticImages.Size && h == SyntheticImages.Size)
+              SyntheticImages.dctPhashGray(gray)
             else {
+              val src = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              src.setRGB(0, 0, w, h, px, 0, w)
               val sq = new java.awt.image.BufferedImage(SyntheticImages.Size,
                 SyntheticImages.Size, java.awt.image.BufferedImage.TYPE_INT_RGB)
               val g = sq.createGraphics()
               g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
                 java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(img, 0, 0, SyntheticImages.Size, SyntheticImages.Size, null)
+              g.drawImage(src, 0, 0, SyntheticImages.Size, SyntheticImages.Size, null)
               g.dispose()
-              sq.getRGB(0, 0, SyntheticImages.Size, SyntheticImages.Size,
-                null, 0, SyntheticImages.Size)
+              SyntheticImages.dctPhash(sq.getRGB(0, 0, SyntheticImages.Size,
+                SyntheticImages.Size, null, 0, SyntheticImages.Size))
             }
-          ImageMeta(id, w, h, luma / px.length, SyntheticImages.dctPhash(ppx))
+          ImageMeta(id, w, h, luma / px.length, phash)
         }
       }
   }

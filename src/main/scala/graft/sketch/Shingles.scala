@@ -34,6 +34,74 @@ object Shingles {
     sortDedupUnsigned(hs)
   }
 
+  @inline private def isAsciiOnly(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) < 0) return false; i += 1 }
+    true
+  }
+
+  /** [[charShingles]] over the raw UTF-8 bytes (the UTF8String fast path —
+    * skips the toString decode + getBytes re-encode the String entry pays).
+    * ASCII-only fast path: there byte length == UTF-16 length, so the
+    * `text.length < k` guard coincides and the shingle windows are the same
+    * bytes; any non-ASCII byte falls back to the String path, which keeps
+    * the output bit-identical on every input (r6 optimization). */
+  def charShinglesBytes(bytes: Array[Byte], k: Int, seed: Int = 42): Array[Long] = {
+    if (bytes == null || bytes.length < k) return Array.emptyLongArray
+    if (!isAsciiOnly(bytes)) return charShingles(new String(bytes, Utf8), k, seed)
+    val n = bytes.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = HashKernels.murmur3_x64_128(bytes, i, k, seed)._1
+      i += 1
+    }
+    sortDedupUnsigned(hs)
+  }
+
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 0x0B.toByte || b == '\f'.toByte || b == '\r'.toByte
+
+  /** [[tokenNgrams]] over the raw UTF-8 bytes. ASCII-only fast path: Java's
+    * `\s` is the ASCII class [ \t\n\x0B\f\r], and ASCII bytes never occur
+    * inside multi-byte UTF-8 sequences, so byte-level splitting equals the
+    * regex split; grams are hashed from a single-space-joined normalized
+    * buffer whose slices are byte-identical to the gram strings' UTF-8.
+    * Non-ASCII input falls back to the String path (r6 optimization). */
+  def tokenNgramsBytes(bytes: Array[Byte], n: Int, seed: Int = 42): Array[Long] = {
+    if (bytes == null) return Array.emptyLongArray
+    if (!isAsciiOnly(bytes)) return tokenNgrams(new String(bytes, Utf8), n, seed)
+    val len = bytes.length
+    // normalized single-space-joined token buffer + per-token start offsets
+    val norm = new Array[Byte](len)
+    val starts = new Array[Int](len / 2 + 2)
+    var nl = 0
+    var nt = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWsByte(bytes(i))) i += 1
+      if (i < len) {
+        if (nt > 0) { norm(nl) = ' '; nl += 1 }
+        starts(nt) = nl
+        while (i < len && !isWsByte(bytes(i))) { norm(nl) = bytes(i); nl += 1; i += 1 }
+        nt += 1
+      }
+    }
+    if (nt < n) return Array.emptyLongArray
+    starts(nt) = nl + 1 // sentinel: end(t) = starts(t+1) - 1
+    val m = nt - n + 1
+    val hs = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      val s = starts(i)
+      val e = starts(i + n) - 1
+      hs(i) = HashKernels.murmur3_x64_128(norm, s, e - s, seed)._1
+      i += 1
+    }
+    sortDedupUnsigned(hs)
+  }
+
   /** distinct word n-gram hashes over whitespace tokens. */
   def tokenNgrams(text: String, n: Int, seed: Int = 42): Array[Long] = {
     if (text == null) return Array.emptyLongArray

@@ -1,5 +1,6 @@
 package graft.spark.expr
 
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.sketch._
@@ -12,13 +13,19 @@ import graft.sketch._
 object Kernels {
 
   @inline def toLongArray(a: ArrayData): Array[Long] = a.toLongArray()
-  @inline def longs(a: Array[Long]): ArrayData = new GenericArrayData(a)
+  /** primitive-array ArrayData: `GenericArrayData(Array[Long])` boxes every
+    * element (its constructor is `toArray[Any]`) — at ~460 array slots per
+    * signature row that boxing dominated the narrow stages;
+    * `UnsafeArrayData.fromPrimitiveArray` is one allocation + one memcpy and
+    * `toLongArray()` on it is a bulk copy back (r6 optimization). */
+  @inline def longs(a: Array[Long]): ArrayData = UnsafeArrayData.fromPrimitiveArray(a)
+  @inline def doubles(a: Array[Double]): ArrayData = UnsafeArrayData.fromPrimitiveArray(a)
 
   def captionShingles(text: UTF8String, k: Int): ArrayData =
-    longs(Shingles.charShingles(text.toString, k))
+    longs(Shingles.charShinglesBytes(text.getBytes, k))
 
   def tokenNgrams(text: UTF8String, n: Int): ArrayData =
-    longs(Shingles.tokenNgrams(text.toString, n))
+    longs(Shingles.tokenNgramsBytes(text.getBytes, n))
 
   def phashBitgrams(phash: Long, gram: Int, step: Int): ArrayData =
     longs(Shingles.phashBitgrams(phash, gram, step))
@@ -61,15 +68,15 @@ object Kernels {
 
   /** exact token n-gram jaccard of two strings (the LSH confirm kernel). */
   def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
-    val sa = Shingles.tokenNgrams(a.toString, n)
-    val sb = Shingles.tokenNgrams(b.toString, n)
+    val sa = Shingles.tokenNgramsBytes(a.getBytes, n)
+    val sb = Shingles.tokenNgramsBytes(b.getBytes, n)
     exactJaccardSorted(sa, sb)
   }
 
   /** exact char k-shingle jaccard. */
   def charShingleJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
-    val sa = Shingles.charShingles(a.toString, k)
-    val sb = Shingles.charShingles(b.toString, k)
+    val sa = Shingles.charShinglesBytes(a.getBytes, k)
+    val sb = Shingles.charShinglesBytes(b.getBytes, k)
     exactJaccardSorted(sa, sb)
   }
 
@@ -157,7 +164,7 @@ object Kernels {
     val out = new Array[Double](x.length)
     i = 0
     while (i < x.length) { out(i) = x(i) * inv; i += 1 }
-    new GenericArrayData(out)
+    doubles(out)
   }
 
   def vecNormalizeFloat(a: ArrayData): ArrayData = {
@@ -172,7 +179,7 @@ object Kernels {
     val out = new Array[Double](x.length)
     i = 0
     while (i < x.length) { out(i) = x(i) * inv; i += 1 }
-    new GenericArrayData(out)
+    doubles(out)
   }
 
   // ---- HLL scalars ----
@@ -231,7 +238,7 @@ object Kernels {
     }
     // array_min of an empty (or all-null) array is null
     if (nonNull == 0) return new GenericArrayData(new Array[Any](p))
-    new GenericArrayData(mins)
+    longs(mins)
   }
 
   private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
@@ -327,7 +334,7 @@ object Kernels {
       out(b) = (hi << 32) | lo
       b += 1
     }
-    new GenericArrayData(out)
+    longs(out)
   }
 
   /** distinct whitespace-token n-gram STRINGS in first-occurrence order —

@@ -63,9 +63,9 @@ case class MinHashSigExpr(child: Expression, numPerm: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   protected override def nullSafeEval(t: Any): Any =
-    new GenericArrayData(MinHash.minhashSig(t.asInstanceOf[ArrayData].toLongArray(), affine))
+    Kernels.longs(MinHash.minhashSig(t.asInstanceOf[ArrayData].toLongArray(), affine))
   def compute(features: ArrayData): ArrayData =
-    new GenericArrayData(MinHash.minhashSig(features.toLongArray(), affine))
+    Kernels.longs(MinHash.minhashSig(features.toLongArray(), affine))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("minhashSigExpr", this, classOf[MinHashSigExpr].getName)
     defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
@@ -190,9 +190,9 @@ case class BandKeysExpr(child: Expression, bands: Int, rows: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "band_keys"
   protected override def nullSafeEval(t: Any): Any =
-    new GenericArrayData(MinHash.bandKeys(t.asInstanceOf[ArrayData].toLongArray(), bands, rows))
+    Kernels.longs(MinHash.bandKeys(t.asInstanceOf[ArrayData].toLongArray(), bands, rows))
   def compute(sig: ArrayData): ArrayData =
-    new GenericArrayData(MinHash.bandKeys(sig.toLongArray(), bands, rows))
+    Kernels.longs(MinHash.bandKeys(sig.toLongArray(), bands, rows))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bandKeysExpr", this, classOf[BandKeysExpr].getName)
     defineCodeGen(ctx, ev, c => s"$ref.compute($c)")

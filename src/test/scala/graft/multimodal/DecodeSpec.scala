@@ -85,6 +85,48 @@ class DecodeSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(joined, rows(id)))
     }
   }
+  test("fast decode paths are bit-identical to the ImageIO baseline (r6)") {
+    val rows = (0L until 60L).flatMap(fid => SyntheticImages.family(fid, 42L, fid * 8))
+    assert(rows.exists(_.fmt == "png") && rows.exists(_.fmt == "jpeg"))
+    val dec = new Decode.ReusableDecoder
+    for (r <- rows) {
+      val base = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      val expected = base.getRGB(0, 0, base.getWidth, base.getHeight, null, 0, base.getWidth)
+      // decodePixels (FastPng for png, raster fast path for jpeg)
+      assert(java.util.Arrays.equals(dec.decodePixels(r.bytes), expected),
+        s"decodePixels mismatch for ${r.image_id} (${r.fmt})")
+      // decodeImage → imageToRgb
+      val img = dec.decodeImage(r.bytes)
+      assert(img.getWidth === base.getWidth && img.getHeight === base.getHeight)
+      assert(java.util.Arrays.equals(dec.imageToRgb(img), expected),
+        s"decodeImage mismatch for ${r.image_id} (${r.fmt})")
+      // decodeMeta agrees too
+      val (w, h, px) = dec.decodeMeta(r.bytes)
+      assert(w === base.getWidth && h === base.getHeight)
+      assert(java.util.Arrays.equals(px, expected))
+    }
+    // non-square PNG (the FastPng w != h path)
+    val img = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64)
+      img.setRGB(x, y, ((x * 3) << 16) | ((y * 5) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val nb = bos.toByteArray
+    val base = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(nb))
+    assert(java.util.Arrays.equals(dec.decodePixels(nb),
+      base.getRGB(0, 0, 64, 32, null, 0, 64)))
+    // an unsupported PNG layout (palette) must fall back to ImageIO, not fail
+    val pal = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(pal, "png", bos2)
+    val pb = bos2.toByteArray
+    val pbase = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pb))
+    assert(java.util.Arrays.equals(dec.decodePixels(pb),
+      pbase.getRGB(0, 0, 8, 8, null, 0, 8)))
+  }
+
   test("payloadFidelity: every row decodes allclose to regenerated ground truth") {
     val fid = Decode.payloadFidelity(corpus).collect()
     assert(fid.length === corpus.count())

@@ -363,4 +363,36 @@ class SketchAlgebraSpec extends AnyFunSuite {
     assert(c(10) === 10 && c(11) === 10)
     assert(c(99) === 99)
   }
+
+  test("byte-path shingle kernels are bit-identical to the String path") {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val g = new SplitMix64(99L)
+    val alphabets = Seq(
+      "abcdefgh ",                  // plain ASCII with single spaces
+      "ab  \t\n\f\r xyz",     // every \s class byte, runs of ws
+      "abcäöü日本語 ",               // multi-byte UTF-8
+      "a😀b ",            // astral (surrogate pair, 4-byte UTF-8)
+      " ")                          // ws-only
+    val cases = Seq("", " ", "  ", "a", "ab", "a b", " a b ", "ä", "日本 語 本") ++
+      (1 to 400).map { i =>
+        val alpha = alphabets(i % alphabets.length)
+        val len = (g.nextLong() >>> 58).toInt // 0..63
+        val sb = new StringBuilder
+        var j = 0
+        while (j < len) {
+          sb.append(alpha(((g.nextLong() >>> 1) % alpha.length).toInt))
+          j += 1
+        }
+        sb.toString
+      }
+    for (s <- cases; k <- Seq(1, 2, 5, 8); n <- Seq(1, 2, 3)) {
+      val bytes = s.getBytes(utf8)
+      assert(java.util.Arrays.equals(
+        Shingles.charShinglesBytes(bytes, k), Shingles.charShingles(s, k)),
+        s"charShingles mismatch on '$s' k=$k")
+      assert(java.util.Arrays.equals(
+        Shingles.tokenNgramsBytes(bytes, n), Shingles.tokenNgrams(s, n)),
+        s"tokenNgrams mismatch on '$s' n=$n")
+    }
+  }
 }
