@@ -60,7 +60,12 @@ object DocOps {
     cand
       .join(gramSets.toDF("id_a", "gs_a"), "id_a")
       .join(gramSets.toDF("id_b", "gs_b"), "id_b")
-      .where(gf.exact_jaccard(col("gs_a"), col("gs_b")) >= tau)
+      // coalesce: a bare `jaccard >= τ` predicate lets constraint inference
+      // plant `isnotnull(token_ngrams(text))` filters that re-evaluate the
+      // tokenize kernel under each join side (guide §4.4 duplication; same
+      // shield as Dedup.confirm). Null jaccard failed `>= τ` before, -1
+      // fails now — row set identical.
+      .where(coalesce(gf.exact_jaccard(col("gs_a"), col("gs_b")), lit(-1.0)) >= tau)
       .select("id_a", "id_b")
   }
 
@@ -70,8 +75,15 @@ object DocOps {
     * shuffles, without duplicating the index construction. */
   private[graft] def ngramPrefixIndex(docs: DataFrame, n: Int = 3,
       tau: Double = 0.6, maxDf: Int = Int.MaxValue): (DataFrame, DataFrame) = {
-    val gramSets = docs.select(col("doc_id"), gf.token_ngrams(col("text"), n).as("gs"))
-      .where(size(col("gs")) > 0)
+    // the emptiness guard runs BEFORE the tokenize projection as a cheap
+    // builtin predicate: `size(gs) > 0` collapsed into a Filter that
+    // re-evaluated the token_ngrams kernel per row on top of the Project's
+    // own evaluation (cross-operator subtrees get no CSE). size(token_ngrams
+    // (text, n)) > 0  ⇔  #whitespace tokens ≥ n, and both forms drop null
+    // text, so the kept row set is identical.
+    val gramSets = docs
+      .where(size(filter(split(col("text"), "\\s+"), t => t =!= "")) >= n)
+      .select(col("doc_id"), gf.token_ngrams(col("text"), n).as("gs"))
     val grams0 = gramSets.select(col("doc_id"), explode(col("gs")).as("g"))
     val grams =
       if (maxDf == Int.MaxValue) grams0

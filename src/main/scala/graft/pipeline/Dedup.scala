@@ -678,7 +678,14 @@ object Dedup {
       .withColumn("hamming", bit_count(col("phash_a").bitwiseXOR(col("phash_b"))))
       .where(col("hamming") <= cfg.hammingThreshold)
       .withColumn("jaccard", gf.exact_jaccard(col("tok_a"), col("tok_b")))
-      .where(col("jaccard") >= cfg.tokenJaccard)
+      // coalesce makes the predicate null-INTOLERANT-free: a bare
+      // `jaccard >= τ` lets InferFiltersFromConstraints plant
+      // `isnotnull(token_ngrams(caption))` under each join side, where the
+      // pushed-through alias re-evaluates the tokenize kernel in the scan
+      // FILTER on top of the Project's own evaluation (guide §4.4 shape —
+      // measured ~2 extra full tokenize passes per confirm). Row semantics
+      // are identical: a null jaccard failed `>= τ` before and -1 fails now.
+      .where(coalesce(col("jaccard"), lit(-1.0)) >= cfg.tokenJaccard)
       .select(idStr(col("id_a")).as("id_a"), idStr(col("id_b")).as("id_b"),
         col("hamming"), col("jaccard"))
   }
@@ -697,7 +704,11 @@ object Dedup {
       .hint("shuffle_hash").join(rows.toDF("id_b", "phash_b", "cap_b"), "id_b")
       .where(bit_count(col("phash_a").bitwiseXOR(col("phash_b"))) <= cfg.hammingThreshold)
       .withColumn("lcs", gf.lcs_len(col("cap_a"), col("cap_b")))
-      .where(col("lcs") >= minLen)
+      // coalesce: same InferFiltersFromConstraints shield as `confirm` —
+      // a bare `lcs >= minLen` would re-evaluate nothing expensive here
+      // (cap_a/b are raw columns), but keeps the suffix-array kernel out of
+      // any inferred isnotnull should the plan shape change
+      .where(coalesce(col("lcs"), lit(-1)) >= minLen)
       .select(idStr(col("id_a")).as("id_a"), idStr(col("id_b")).as("id_b"), col("lcs"))
   }
 
