@@ -64,7 +64,19 @@ object EventOps {
     * (EventOpsSpec: real table + planted bot + chunk-boundary cases);
     * the driver oracle (`events_sessions`) gates it against DuckDB's own
     * single-window SQL. */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30, chunkHours: Int = 24): DataFrame = {
+  def sessionize(events: DataFrame, gapMinutes: Int = 30, chunkHours: Int = 24): DataFrame =
+    sessionizeFrom(sessionizeLocal(events, gapMinutes, chunkHours).localCheckpoint(),
+      gapMinutes)
+
+  /** the heavy per-event phase of [[sessionize]] BEFORE materialization —
+    * exposed so EventOpsSpec can assert the (user, chunk) partitioning of
+    * the heavy window on the un-truncated plan (sessionize itself
+    * localCheckpoints this frame: it feeds both the summary aggregate and
+    * the final join, and without materialization the wide window
+    * shuffle+sort executes twice — no ReusedExchange across the two
+    * specialized consumer subplans). */
+  private[graft] def sessionizeLocal(events: DataFrame, gapMinutes: Int = 30,
+      chunkHours: Int = 24): DataFrame = {
     val gapUs = gapMinutes * 60000000L
     val chunkUs = chunkHours * 3600000000L
     // every internal column is __sess_-prefixed: withColumn CLOBBERS an
@@ -88,6 +100,12 @@ object EventOps {
           col("__sess_us") - col("__sess_prev_us") > gapUs, 1L)
           .otherwise(0L))
       .withColumn("__sess_local", sum(col("__sess_new")).over(byChunk))
+    local
+  }
+
+  /** phase 2 of [[sessionize]] over the (materialized) per-event frame. */
+  private def sessionizeFrom(local: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60000000L
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("__sess_chunk"))
     val offsets = local.groupBy(col("user_id"), col("__sess_chunk"))
       .agg(min(col("__sess_us")).as("__sess_first_us"),

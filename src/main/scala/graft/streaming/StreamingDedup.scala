@@ -343,11 +343,15 @@ object StreamingDedup {
             // would break the single-serial-writer invariant — the
             // restarted batch's sweep would delete the orphan's live
             // `.compact-*` tmp dir mid-move. shutdownNow interrupts queued
-            // + running tasks; awaitTermination bounds the drain (a task
-            // ignoring interruption is finished within the wait in practice
-            // — bucket merges are small).
+            // + running tasks; awaitTermination bounds the drain, and an
+            // incomplete drain FAILS the batch loudly (r6, advisor finding):
+            // proceeding with a live compaction thread would silently void
+            // the invariant the next batch's `.compact-*` sweep relies on.
             pool.shutdownNow()
-            pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES): Unit
+            if (!pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES))
+              throw new IllegalStateException(
+                "compaction pool did not terminate within 5 min — failing the " +
+                  "batch rather than leaving a live compaction thread behind")
           }
         }
         ()

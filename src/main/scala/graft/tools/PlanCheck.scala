@@ -7,10 +7,14 @@ object PlanCheck {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries("dup_pairs")(spark, "/root/testdata/sf0.001")
-    val counted = df.groupBy().count()
-    println("=== count-plan over ordered dup_pairs ===")
-    println(counted.queryExecution.executedPlan.toString.take(3000))
+    val df = graft.SparkEntry.queries("events_sessions")(spark, "/root/testdata/sf0.001")
+    df.count() // execute so AQE finalizes
+    val p = df.queryExecution.executedPlan.toString
+    println("=== events_sessions executed plan (reuse markers) ===")
+    println("ReusedExchange count: " + "ReusedExchange".r.findAllIn(p).length)
+    println("Window count: " + "Window".r.findAllIn(p).length)
+    println("Exchange count: " + "Exchange".r.findAllIn(p).length)
+    println("Scan count: " + "Scan parquet".r.findAllIn(p).length + " / FileScan " + "FileScan".r.findAllIn(p).length)
     spark.stop()
   }
 }

@@ -90,7 +90,9 @@ class EventOpsSpec extends AnyFunSuite {
     // so requiring `, ts#` right after the chunk token — with no ASC
     // between, i.e. chunk is a PARTITION column — is what distinguishes
     // the heavy window from the summary one.
-    val plan = EventOps.sessionize(df).queryExecution.optimizedPlan.toString
+    // the plan is asserted on the PRE-checkpoint heavy phase (sessionize
+    // itself materializes it, truncating the visible plan to a LogicalRDD)
+    val plan = EventOps.sessionizeLocal(df).queryExecution.optimizedPlan.toString
     assert(plan.contains("windowspecdefinition(user_id"), plan.take(500))
     assert(
       "windowspecdefinition\\(user_id#\\d+L?, __sess_chunk#\\d+L?, ts#".r
