@@ -28,7 +28,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Panama Vector API (incubator in JDK 17) for the SIMD MinHash kernel
+// (graft.sketch.VectorMinHash); JVMs launched without the flag (e.g. plain
+// spark-submit executors) fall back to the scalar loop via the
+// MinHash.vectorKernelUsable probe.
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",

@@ -152,16 +152,44 @@ object MinHash {
     out
   }
 
+  /** One-time per-JVM probe of the Panama SIMD kernel ([[VectorMinHash]]):
+    * usable iff the incubator module is on the module path (build.sbt adds
+    * `--add-modules jdk.incubator.vector` to forked run/test JVMs; plain
+    * spark-submit executors without the flag fall back to the scalar loop)
+    * AND a self-test reproduces the scalar path bit-for-bit on a planted
+    * input. The kernel is exact integer arithmetic per permutation slot, so
+    * agreement on any input implies agreement on all — the self-test guards
+    * against classloading/species surprises, not arithmetic. */
+  private[graft] lazy val vectorKernelUsable: Boolean =
+    try {
+      val feats = Array.tabulate(67)(i => fmix64(i * 0x9e3779b97f4a7c15L))
+      val aff = permAffine(128, 42L)
+      java.util.Arrays.equals(VectorMinHash.sig(feats, aff), minhashSigScalar(feats, aff))
+    } catch { case _: Throwable => false }
+
   /** k-permutation signature over 64-bit affine permutations:
     * `sig(p) = min_x (a_p·fmix64(x) + b_p)` (mod 2^64; a_p odd ⇒ bijection) —
     * the same construction as Spark MLlib's `MinHashLSH`, widened to 64 bits.
     * The fmix64 pre-mix decorrelates raw features once per feature, so the
     * cheap affine family behaves as independent permutations (accuracy
-    * property-tested in SketchAlgebraSpec). The inner loop is branch-free
-    * over contiguous arrays (biased signed min) so the JIT can vectorize the
-    * mul/add/min across the permutation axis (AVX-512DQ has 64-bit vpmullq /
-    * vpminsq). Empty feature set → all-(-1L) (unsigned max) sentinel. */
-  def minhashSig(features: Array[Long], affine: Array[Long]): Array[Long] = {
+    * property-tested in SketchAlgebraSpec). Empty feature set → all-(-1L)
+    * (unsigned max) sentinel.
+    *
+    * Dispatches to the Panama SIMD kernel when usable (r6: C2 on JDK 17
+    * does NOT auto-vectorize the long-min inner loop — measured 28.7 µs/row
+    * scalar vs 3-8 µs vectorized at 128 perms × ~143 features, the largest
+    * kernel of the signature stage); both paths are bit-identical (per-JVM
+    * self-test + SketchAlgebraSpec property). */
+  /** dev A/B toggle (same-JVM kernel comparison in tools.SigStage); shipped
+    * paths never touch it — it defaults on and only the probe flips it. */
+  @volatile private[graft] var simdEnabled: Boolean = true
+
+  def minhashSig(features: Array[Long], affine: Array[Long]): Array[Long] =
+    if (simdEnabled && vectorKernelUsable) VectorMinHash.sig(features, affine)
+    else minhashSigScalar(features, affine)
+
+  /** the scalar loop — fallback for JVMs without the incubator module. */
+  private[graft] def minhashSigScalar(features: Array[Long], affine: Array[Long]): Array[Long] = {
     val m = affine.length >> 1
     val sig = new Array[Long](m)
     java.util.Arrays.fill(sig, Long.MaxValue) // == unsigned max, sign-biased

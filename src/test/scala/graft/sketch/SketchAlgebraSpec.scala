@@ -112,6 +112,24 @@ class SketchAlgebraSpec extends AnyFunSuite {
     assert(math.abs(est - exactJ) <= 4.0 / math.sqrt(128.0), s"exact=$exactJ est=$est")
   }
 
+  test("SIMD minhash kernel is bit-identical to the scalar loop (r6)") {
+    // the forked test JVM carries --add-modules jdk.incubator.vector
+    // (build.sbt), so the vector path must actually engage here — a silent
+    // fallback would leave the shipped kernel untested
+    assert(MinHash.vectorKernelUsable,
+      "vector kernel not usable in the test JVM — check --add-modules jdk.incubator.vector")
+    val rnd = new SplitMix64(7L)
+    // perm counts off the 8-lane multiple exercise the vector tail loop;
+    // empty/singleton features exercise the sentinel path
+    for (numPerm <- Seq(1, 7, 8, 13, 64, 128); nFeat <- Seq(0, 1, 5, 143, 1000)) {
+      val affine = MinHash.permAffine(numPerm, 42L)
+      val feats = Array.fill(nFeat)(rnd.nextLong())
+      assert(VectorMinHash.sig(feats, affine).toSeq
+        === MinHash.minhashSigScalar(feats, affine).toSeq,
+        s"numPerm=$numPerm nFeat=$nFeat")
+    }
+  }
+
   test("signature merge law: sig(A ∪ B) = mergeSig(sig(A), sig(B))") {
     val seeds = MinHash.permAffine(128, 42)
     val a = randSet(15, 1000)
