@@ -53,13 +53,28 @@ object DocOps {
   def ngramDupPairsExact(docs: DataFrame, n: Int = 3, tau: Double = 0.6,
       maxDf: Int = Int.MaxValue): DataFrame = {
     val (pref, gramSets) = ngramPrefixIndex(docs, n, tau, maxDf)
+    // checkpoint: the candidate set feeds the two confirm joins AND the r6
+    // semi-filter (id pass + count gate); un-materialized, each consumer
+    // would re-run the prefix self-join
     val cand = pref.toDF("id_a", "g")
       .join(pref.toDF("id_b", "g"), "g")
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b").distinct().localCheckpoint()
+    // r6: semi-filter the per-doc gram sets to candidate ids BEFORE the
+    // tokenize projection (guide §3.2) — the confirm joins are inner on
+    // doc_id, so non-candidate docs never influence the output; without the
+    // filter both join sides re-tokenize the full corpus
+    val confirmSets = graft.pipeline.Dedup.confirmIdFilter(cand, docs.count()) match {
+      case Some(ids) =>
+        docs.join(broadcast(ids.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
+          .where(size(filter(split(col("text"), "\\s+"), t => t =!= "")) >= n)
+          .select(col("doc_id"), gf.token_ngrams(col("text"), n).as("gs"))
+          .localCheckpoint()
+      case None => gramSets
+    }
     cand
-      .join(gramSets.toDF("id_a", "gs_a"), "id_a")
-      .join(gramSets.toDF("id_b", "gs_b"), "id_b")
+      .join(confirmSets.toDF("id_a", "gs_a"), "id_a")
+      .join(confirmSets.toDF("id_b", "gs_b"), "id_b")
       // coalesce: a bare `jaccard >= τ` predicate lets constraint inference
       // plant `isnotnull(token_ngrams(text))` filters that re-evaluate the
       // tokenize kernel under each join side (guide §4.4 duplication; same
@@ -133,7 +148,16 @@ object DocOps {
       hotThreshold: Int = 1 << 12, saltChunks: Int = 16): DataFrame = {
     val cand = minhashCandidates(docs, n, numPerm, bands, rowsPerBand,
       hotThreshold, saltChunks)
-    val texts = docs.select(col("doc_id"), col("text"))
+    // r6: semi-filter the text side to candidate ids (guide §3.2) — the
+    // confirm joins are inner on doc_id, so the filter is output-identical
+    // and keeps the full corpus text out of both join shuffles
+    val base = docs.select(col("doc_id"), col("text"))
+    val texts = graft.pipeline.Dedup.confirmIdFilter(cand, docs.count()) match {
+      case Some(ids) =>
+        base.join(broadcast(ids.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+      case None => base
+    }
     cand
       .join(texts.toDF("id_a", "text_a"), "id_a")
       .join(texts.toDF("id_b", "text_b"), "id_b")
@@ -192,10 +216,19 @@ object DocOps {
       .localCheckpoint() // the walk's hot path re-reads its input filtered to hot buckets
     val keyed = sigs.select(col("doc_id").as("id"), col("sh").as("phash"),
       explode(gf.phash_block_keys(col("sh"), maxHamming + 1)).as("bv"))
-    graft.pipeline.Dedup.saltedBucketPairs(keyed, maxHamming, hotThreshold, saltChunks)
+    val pairs = graft.pipeline.Dedup.saltedBucketPairs(keyed, maxHamming, hotThreshold, saltChunks)
       .toDF("id_a", "id_b")
-      .join(sigs.toDF("id_a", "sh_a"), "id_a")
-      .join(sigs.toDF("id_b", "sh_b"), "id_b")
+    // r6: semi-filter the signature side to candidate ids (inner joins on
+    // doc_id ⇒ output-identical); sigs is already checkpointed, so the
+    // filtered sides are cheap broadcast filters over cached blocks
+    val confirmSigs = graft.pipeline.Dedup.confirmIdFilter(pairs, sigs.count()) match {
+      case Some(ids) =>
+        sigs.join(broadcast(ids.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
+      case None => sigs
+    }
+    pairs
+      .join(confirmSigs.toDF("id_a", "sh_a"), "id_a")
+      .join(confirmSigs.toDF("id_b", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
   }

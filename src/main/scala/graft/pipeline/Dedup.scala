@@ -201,7 +201,10 @@ object Dedup {
       val dense = keyed.where(col("bv").isInCollection(hotBvs)).localCheckpoint()
       val fanned = if (keyed.columns.contains("bands")) denseFirstAgreeJoin(dense)
         else denseSaltedJoin(dense)
-      return small.union(fanned).distinct()
+      // checkpoint: downstream confirm consumes the candidate set more than
+      // once (pair joins + the r6 semi-filter id pass + its count gate);
+      // without materialization each consumer re-executes the dense join
+      return small.union(fanned).distinct().localCheckpoint()
     }
     // Hot path: bucket sizes for POPULAR band values grow ∝ corpus size, so
     // any raw per-bucket cross product is quadratic in N (measured at sf1:
@@ -224,14 +227,14 @@ object Dedup {
     // each pass is internally deduped; the cross-pass distinct below removes
     // pairs that collide both in a cold bucket (pass 1) and a hot one (pass 2)
     val (denseBvs, small2) = runWalk(refined)
-    if (denseBvs.isEmpty) return small.union(small2).distinct()
+    if (denseBvs.isEmpty) return small.union(small2).distinct().localCheckpoint()
     // Terminal path: a refined bucket only stays hot when >hotThreshold
     // members share a phash class verbatim — a genuine mega-duplicate
     // cluster, whose OUTPUT is inherently O(n²) pairs. Salt-and-replicate
     // fans each such cluster across `saltChunks` tasks; the work is
     // output-bound, not an avoidable cross product.
     val dense = refined.where(col("bv").isInCollection(denseBvs)).localCheckpoint()
-    small.union(small2).union(denseSaltedJoin(dense)).distinct()
+    small.union(small2).union(denseSaltedJoin(dense)).distinct().localCheckpoint()
   }
 
   /** Skew-hardened in-bucket ALL-PAIRS generation over an LSH-keyed frame
@@ -661,15 +664,77 @@ object Dedup {
     saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16)
   }
 
+  /** Pre-filter a corpus-side confirm input to the ids that actually occur
+    * in the candidate pair set (guide §3.2 "reduce the big side before
+    * shuffling it"). The confirm joins are inner equi-joins on id, so
+    * dropping rows whose id never appears in `candidates` cannot change the
+    * output — it only stops the full corpus (and the per-row tokenize that
+    * sits above it) from being shuffled into both join sides when the
+    * candidate set is orders of magnitude smaller than the corpus (at sf0.1:
+    * ~23k pairs vs 4.25M rows, i.e. ~99% of the tokenize+shuffle work fed
+    * rows the joins discarded).
+    *
+    * Adaptive gate (conf-overridable so cluster deployments retune without
+    * code changes), measured on the sf0.1 corpus both ways:
+    *  1. SELECTIVITY pre-gate: candidate pairs must number well under the
+    *     big side's row count (`pairs · graft.confirm.semiFilterSelectivity`
+    *     ≤ bigRows, default factor 4). The dup-dense image corpus at sf0.1
+    *     (18.4M pairs over 4.25M rows) fails here instantly — engaging
+    *     there measured 8.6 s vs 4.3 s because the distinct-id shuffle, the
+    *     broadcast build and the filtered-side checkpoint outweigh removing
+    *     only ~half the corpus. The doc channels (tens of pairs over
+    *     thousands of docs) and any realistically-selective 100 TB dedup
+    *     pass it. Both counts are cheap: candidates are localCheckpoint-ed
+    *     by every caller, and the big side is a parquet count.
+    *  2. distinct-id count ≤ `graft.confirm.semiFilterMaxIds` (default 8M
+    *     ids ≈ 150-200 MB broadcast hash relation — the guide's "few
+    *     hundred MB is fine" band); ids are localCheckpoint-ed so one
+    *     materialization feeds the gate count and both join-side
+    *     broadcasts.
+    * Known non-engagement: a single mega-clique (many pairs, few ids) fails
+    * gate 1 even though the filter would be very selective — detecting it
+    * would cost the distinct-id pass on every dense corpus, which is
+    * exactly the measured regression. Returns None when a gate declines
+    * (callers keep the full-shuffle shape — output identical either way). */
+  private[graft] def confirmIdFilter(candidates: DataFrame, bigRows: => Long): Option[DataFrame] = {
+    val spark = candidates.sparkSession
+    def confL(key: String, dflt: Long): Long =
+      spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    if (candidates.count() * confL("graft.confirm.semiFilterSelectivity", 4L) > bigRows) None
+    else {
+      val ids = candidates
+        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+        .localCheckpoint()
+      if (ids.count() > confL("graft.confirm.semiFilterMaxIds", 8L << 20)) None
+      else Some(ids)
+    }
+  }
+
   /** exact confirm of (already Hamming-filtered) candidate pairs: recheck
     * Hamming, then exact token jaccard over pre-hashed token sets.
     * Both candidate channels pre-filter Hamming inside the bucket join, so
     * the surviving pair set is already tiny — fetch (phash, tok) together,
     * ONE shuffle join per side, instead of a phash-only pre-shrink pass
     * that would double the join count for no reduction.
-    * Output ids formatted back to strings. */
+    * Output ids formatted back to strings.
+    *
+    * r6: the corpus side is semi-filtered to candidate ids FIRST (broadcast
+    * left-semi over the distinct candidate ids, [[confirmIdFilter]]), then
+    * tokenized, then localCheckpoint-ed so BOTH join sides read the one
+    * tiny materialized frame instead of two full corpus scans — the
+    * tokenize kernel and the confirm-join shuffles now run over ~candidate
+    * cardinality, not corpus cardinality. Join results are identical: the
+    * joins are inner on id and the filter only removes non-matching rows. */
   def confirm(candidates: DataFrame, corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
-    val rows = prepared(corpus)
+    val rows = confirmIdFilter(candidates, corpus.count()) match {
+      case Some(ids) =>
+        corpus
+          .select(idNum(col("image_id")).as("id"), col("phash"), col("caption"))
+          .join(broadcast(ids), Seq("id"), "left_semi")
+          .select(col("id"), col("phash"), gf.token_ngrams(col("caption"), 1).as("tok"))
+          .localCheckpoint()
+      case None => prepared(corpus)
+    }
     candidates
       // shuffle_hash: broadcast builds are single-threaded driver work and
       // sort-merge would sort the fat token arrays
@@ -698,7 +763,13 @@ object Dedup {
     * lcs(a,b) ≥ L  ⇔  the char L-gram sets of a and b intersect. */
   def confirmSubstring(candidates: DataFrame, corpus: DataFrame,
       cfg: Config = defaultConfig, minLen: Int = 12): DataFrame = {
-    val rows = corpus.select(idNum(col("image_id")).as("id"), col("phash"), col("caption"))
+    val base = corpus.select(idNum(col("image_id")).as("id"), col("phash"), col("caption"))
+    // r6: same candidate-id semi-filter as `confirm` — inner joins on id, so
+    // dropping never-joined corpus rows is output-identical
+    val rows = confirmIdFilter(candidates, corpus.count()) match {
+      case Some(ids) => base.join(broadcast(ids), Seq("id"), "left_semi").localCheckpoint()
+      case None => base
+    }
     candidates
       .hint("shuffle_hash").join(rows.toDF("id_a", "phash_a", "cap_a"), "id_a")
       .hint("shuffle_hash").join(rows.toDF("id_b", "phash_b", "cap_b"), "id_b")

@@ -49,13 +49,17 @@ object ConfirmProbe {
         println(f"CPROBE $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s (rows=$n)")
       }
 
-    t("shipped_shuffle_hash") { confirmOn(prepared(corpus), prepared(corpus), "shuffle_hash").count() }
-    t("hint_free") { confirmOn(prepared(corpus), prepared(corpus), "none").count() }
-    t("prepared_ckpt") {
-      val p = prepared(corpus).localCheckpoint()
-      confirmOn(p, p, "shuffle_hash").count()
+    // interleaved rounds: r5 full-corpus shape (tokenize per side) vs
+    // tokenize-once-checkpoint vs the shipped gated confirm, so host drift
+    // cannot be attributed to any one leg
+    (1 to 3).foreach { _ =>
+      t("old_full_shuffle") { confirmOn(prepared(corpus), prepared(corpus), "shuffle_hash").count() }
+      t("prepared_ckpt") {
+        val p = prepared(corpus).localCheckpoint()
+        confirmOn(p, p, "shuffle_hash").count()
+      }
+      t("shipped_gated") { Dedup.confirm(cand, corpus).select("id_a", "id_b").count() }
     }
-    t("shipped_shuffle_hash") { confirmOn(prepared(corpus), prepared(corpus), "shuffle_hash").count() }
     spark.stop()
   }
 }
