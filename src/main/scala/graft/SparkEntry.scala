@@ -332,9 +332,11 @@ object SparkEntry {
         .orderBy("user_id")),
 
     // ---- multimodal decode plumbing (real image decode) ----
+    // r6: dims-only decode stage — same full decode, the unused
+    // luma/pHash featurization of imageMeta is manually pruned (opaque
+    // mapPartitions defeats Catalyst column pruning); output identical
     "img_decode_meta" -> ((s, dir) =>
-      Decode.imageMeta(corpus(s, dir)).toDF()
-        .select("image_id", "w_dec", "h_dec").orderBy("image_id")),
+      Decode.imageDims(corpus(s, dir)).toDF().orderBy("image_id")),
 
     // real decode → bilinear resize → PNG re-encode, partition-mapped
     "img_resize_meta" -> ((s, dir) =>

@@ -139,6 +139,31 @@ object Decode {
     }
   }
 
+  case class ImageDims(image_id: String, w_dec: Int, h_dec: Int)
+
+  /** Dims-only decode stage — the manual projection pushdown for consumers
+    * that read just (image_id, w_dec, h_dec), like the declared
+    * img_decode_meta query (guide §1.2 "don't compute things you throw
+    * away": mapPartitions is opaque to Catalyst, so the unused mean-luma +
+    * DCT-pHash featurization of [[imageMeta]] — ~18% of that stage's wall —
+    * cannot be pruned automatically). The DECODE itself is identical and
+    * complete (same ReusableDecoder fast paths, full pixel production;
+    * dimensions are read from the decoder's output, never sniffed from
+    * headers); only the post-decode featurization is skipped. DecodeSpec
+    * asserts dims equality with [[imageMeta]] row-for-row. */
+  def imageDims(images: DataFrame): Dataset[ImageDims] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val dec = new ReusableDecoder
+        it.map { case (id, bytes) =>
+          val (w, h, _) = dec.decodeMeta(bytes)
+          ImageDims(id, w, h)
+        }
+      }
+  }
+
   case class ImageMeta(image_id: String, w_dec: Int, h_dec: Int, mean_luma: Double, phash_dec: Long)
 
   /** decode image bytes partition-wise → dimensions, mean luma, recomputed

@@ -40,6 +40,18 @@ object DecodeProbe {
     t("full_image_meta") {
       Decode.imageMeta(corpus).toDF().agg(sum("w_dec")).head()
     }
+    t("dims_only") {
+      Decode.imageDims(corpus).toDF().agg(sum("w_dec")).head()
+    }
+    // scan-split A/B: decode is CPU-bound per row, so finer splits trade
+    // per-task overhead for tail balance (68 tasks = 2.1 waves at 128m)
+    for (mpb <- Seq("128m", "64m", "32m", "128m")) {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+      t(s"dims_mpb_$mpb") {
+        Decode.imageDims(spark.read.parquet(SyntheticImages.corpusPath(sfDir)))
+          .toDF().agg(sum("w_dec")).head()
+      }
+    }
     spark.stop()
   }
 }

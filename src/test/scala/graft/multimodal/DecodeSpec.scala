@@ -39,6 +39,27 @@ class DecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("imageDims: dims equal imageMeta's row-for-row (r6 pruned stage)") {
+    val dims = Decode.imageDims(corpus).collect().map(d => d.image_id -> d).toMap
+    val meta = Decode.imageMeta(corpus).collect()
+    assert(meta.nonEmpty && dims.size === meta.length)
+    for (m <- meta) {
+      val d = dims(m.image_id)
+      assert(d.w_dec === m.w_dec && d.h_dec === m.h_dec, m.image_id)
+    }
+    // non-square via the dims stage too (sqrt-regression guard)
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64)
+      img.setRGB(x, y, ((x * 3) << 16) | ((y * 5) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq(("img_0000000001", bos.toByteArray)).toDF("image_id", "bytes")
+    val d = Decode.imageDims(df).collect().head
+    assert(d.w_dec === 64 && d.h_dec === 32, s"got ${d.w_dec}x${d.h_dec}")
+  }
+
   test("imageMeta: NON-square image reports true width x height") {
     // the synthetic corpus is all square, so only this case catches a
     // dims-from-sqrt(pixel-count) regression (45x45 for a 64x32 input)
