@@ -118,18 +118,31 @@ object Ann {
         .as("cid"), col("v").as("cvec")))
       .localCheckpoint()
 
-    // nearest-centroid assignment via max_by aggregation — a partial+final
-    // hash aggregate with NO sort, vs the earlier Window.partitionBy(vec_id)
-    // + row_number which full-sorted all centroids×N scored rows; ties break
-    // toward the smaller cid via the (sim, -cid) struct order
+    // Nearest-centroid assignment as a NARROW projection over the collected
+    // centroid literals (r6, guide §2.4 "remove shuffles outright"): the
+    // centroid frame is ≤ `centroids` rows (bounded by the seed limit), so
+    // collecting it is a bounded driver read, and the former
+    // crossJoin(broadcast) + partial/final max_by hash aggregate — one
+    // exchange of N×centroids scored rows per assign, × (lloydIters+1)
+    // assigns — collapses into a shuffle-free map stage. Value-identical to
+    // the aggregate form: sims use the same vec_dot/(norm·cnorm) expression
+    // with the SPARK-computed cnorm shipped as a literal (never recomputed
+    // on the driver), and greatest() over (sim, -cid, cid) structs picks
+    // exactly max_by's (sim, -cid)-maximal cid (cids are distinct, so the
+    // order is total and tie-free).
     def assign(c: DataFrame): DataFrame = {
-      base.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("v"), col("norm"), col("cid"),
-          (gf.vec_dot(col("v"), col("cvec")) / (col("norm") * col("cnorm"))).as("sim"))
-        .groupBy("vec_id")
-        .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
-          max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"))
-        .select("vec_id", "v", "norm", "cid")
+      val centRows = c.select(col("cid"), col("cvec"), col("cnorm")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+      val packed = centRows.map { case (cid, cvec, cnorm) =>
+        struct(
+          (gf.vec_dot(col("v"), typedLit(cvec)) / (col("norm") * lit(cnorm))).as("sim"),
+          lit(-cid).as("ncid"), lit(cid).as("cid"))
+      }
+      val cidCol =
+        if (packed.length == 1) lit(centRows.head._1)
+        else greatest(packed.toIndexedSeq: _*).getField("cid")
+      base.select(col("vec_id"), col("v"), col("norm"), cidCol.as("cid"))
     }
 
     var it = 0
@@ -147,17 +160,26 @@ object Ann {
     val queries = assigned.where(queryFilter)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"))
-    // top-nprobe lists per query without a window sort: collect the
-    // (centroids)-element list per query and slice the sorted prefix —
-    // struct(-csim, cid) ascending == csim desc with cid tiebreak
-    val qProbes = queries.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("qnorm"), col("cid"),
-        (gf.vec_dot(col("qv"), col("cvec")) / (col("qnorm") * col("cnorm"))).as("csim"))
-    val probes = qProbes.groupBy("query_id")
-      .agg(first(col("qv")).as("qv"), first(col("qnorm")).as("qnorm"),
-        slice(array_sort(collect_list(struct((-col("csim")).as("nsim"), col("cid")))),
-          1, nprobe).as("top"))
-      .select(col("query_id"), col("qv"), col("qnorm"), explode(col("top.cid")).as("cid"))
+    // top-nprobe lists per query, shuffle-free (r6): build the per-query
+    // (−csim, cid) array from the SAME collected centroid literals as
+    // assign, sort it in-row and slice — value-identical to the former
+    // crossJoin + collect_list aggregate (collect_list gathered exactly
+    // these centroids rows in arbitrary order; array_sort normalizes both
+    // to the same ascending (−csim, cid) order), minus one exchange of
+    // N_queries×centroids rows. struct(−csim, cid) ascending == csim desc
+    // with cid tiebreak.
+    val centRows = cent.select(col("cid"), col("cvec"), col("cnorm")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val csims = centRows.map { case (cid, cvec, cnorm) =>
+      struct(
+        (-(gf.vec_dot(col("qv"), typedLit(cvec)) / (col("qnorm") * lit(cnorm)))).as("nsim"),
+        lit(cid).as("cid"))
+    }
+    val probes = queries
+      .select(col("query_id"), col("qv"), col("qnorm"),
+        explode(slice(array_sort(array(csims.toIndexedSeq: _*)), 1, nprobe)
+          .getField("cid")).as("cid"))
     // the dominant queries×candidates stage pays ONE dot product per pair:
     // both norms were computed once upstream and carried here — recomputing
     // them per pair would triple the FLOPs of the re-score
