@@ -194,7 +194,8 @@ object DocOps {
         banded.select(col("id"), lit(0L).as("phash"), explode(col("bands")).as("bv"),
           col("bands"))
       else banded.select(col("id"), lit(0L).as("phash"), explode(col("bands")).as("bv"))
-    graft.pipeline.Dedup.saltedAllPairs(keyed, hotThreshold, saltChunks)
+    graft.pipeline.Dedup.saltedAllPairs(keyed, hotThreshold, saltChunks,
+      keyedRows = banded.count() * bands) // banded is checkpointed — cheap count
       .toDF("id_a", "id_b")
   }
 
@@ -216,7 +217,8 @@ object DocOps {
       .localCheckpoint() // the walk's hot path re-reads its input filtered to hot buckets
     val keyed = sigs.select(col("doc_id").as("id"), col("sh").as("phash"),
       explode(gf.phash_block_keys(col("sh"), maxHamming + 1)).as("bv"))
-    val pairs = graft.pipeline.Dedup.saltedBucketPairs(keyed, maxHamming, hotThreshold, saltChunks)
+    val pairs = graft.pipeline.Dedup.saltedBucketPairs(keyed, maxHamming, hotThreshold,
+      saltChunks, keyedRows = sigs.count() * (maxHamming + 1)) // sigs checkpointed
       .toDF("id_a", "id_b")
     // r6: semi-filter the signature side to candidate ids (inner joins on
     // doc_id ⇒ output-identical); sigs is already checkpointed, so the

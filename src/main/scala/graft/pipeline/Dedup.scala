@@ -109,10 +109,37 @@ object Dedup {
     * no-op there (no signature to re-key by), so hot buckets route STRAIGHT
     * to the terminal salt-and-replicate join — output-bound fan-out across
     * `saltChunks` tasks, the StreamingDedup.SaltChunks pattern. */
+  /** Scale-adaptive partition count for the walk's wide exchange (r6).
+    * The session default (`spark.sql.shuffle.partitions` = core count in
+    * the bench sessions) leaves each in-partition bv-sort with
+    * bandedRows/cores rows — at sf0.1's 136M banded rows that is 4.25M
+    * rows ≈ 200 MB of sorter pages PER TASK, all 32 tasks concurrently,
+    * which brushes the execution-memory share and intermittently spills
+    * (FloorProbe: exchange+sort at 32 parts measured 6.9-20 s vs 4.2-4.6 s
+    * at 96). Deriving the width from the DATA (rows/‘rowsPerSortTask’,
+    * floored at the session default) keeps per-task sorts at a bounded
+    * ~45-70 MB at every scale — the guide §2 rule that a cluster sizes
+    * shuffle partitions to the data, not the executor count. The knob is
+    * conf-overridable for cluster tuning; partition count never affects the
+    * output set (hash partitioning by bv co-locates each bucket at any
+    * width, and everything downstream is order-insensitive).
+    * `keyedRows < 0` (unknown) keeps the session default. */
+  private def walkPartitions(spark: org.apache.spark.sql.SparkSession,
+      keyedRows: Long): Int = {
+    val dflt = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (keyedRows < 0) dflt
+    else {
+      val perTask = spark.conf.getOption("graft.walk.rowsPerSortTask")
+        .map(_.toLong).getOrElse(1500000L)
+      math.min(100000L, math.max(dflt.toLong, (keyedRows + perTask - 1) / perTask)).toInt
+    }
+  }
+
   private[graft] def saltedBucketPairs(keyed: DataFrame, maxHamming: Int,
-      hotThreshold: Int, saltChunks: Int): DataFrame = {
+      hotThreshold: Int, saltChunks: Int, keyedRows: Long = -1L): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
+    val walkParts = walkPartitions(spark, keyedRows)
     // ONE pass of the expensive upstream in the common case: the walk
     // consumes the single wide shuffle and, when it meets an oversized run,
     // emits a MARKER row (id_a = Long.MinValue, id_b = bv) instead of that
@@ -137,7 +164,7 @@ object Dedup {
       // zero; the hot bv collect scans the small deduped checkpoint.
       val markers = spark.sparkContext.longAccumulator("graft.dedup.hotMarkers")
       val deduped = kf.select(col("bv"), col("id"), col("phash"))
-        .repartition(col("bv"))
+        .repartition(walkParts, col("bv"))
         .sortWithinPartitions(col("bv"))
         .as[BandedRow]
         .mapPartitions(it => new BucketRunPairs(it, maxHamming, hotThreshold, markers = markers))
@@ -248,8 +275,9 @@ object Dedup {
     * partition. Output = exactly the distinct per-bucket cross product
     * (DocOpsSpec planted-boilerplate case). */
   private[graft] def saltedAllPairs(keyed: DataFrame,
-      hotThreshold: Int = 1 << 12, saltChunks: Int = 16): DataFrame =
-    saltedBucketPairs(keyed, maxHamming = 64, hotThreshold, saltChunks)
+      hotThreshold: Int = 1 << 12, saltChunks: Int = 16,
+      keyedRows: Long = -1L): DataFrame =
+    saltedBucketPairs(keyed, maxHamming = 64, hotThreshold, saltChunks, keyedRows)
 
   /** Streaming walk of bv-sorted rows: buffers one bucket run at a time
     * (bounded by `hotThreshold`), emits its Hamming-filtered pairs, skips
@@ -615,7 +643,9 @@ object Dedup {
     val keyed = prepared(corpus)
       .select(col("id"), col("phash"),
         explode(gf.phash_block_keys(col("phash"), blocksFor(cfg))).as("bv"))
-    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16)
+    // keyedRows: cheap parquet count × blocks, sizing the walk exchange
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16,
+      keyedRows = corpus.count() * blocksFor(cfg))
   }
 
   /** SimHash pigeonhole candidates (numeric ids): interleaved block keys
@@ -635,7 +665,9 @@ object Dedup {
     val keyed = sigs
       .select(idNum(col("image_id")).as("id"), col("phash"),
         explode(gf.phash_block_keys(col("simhash"), simhashBlocks)).as("bv"))
-    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16)
+    // keyedRows: callers hand a materialized sigs frame, so the count is cheap
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16,
+      keyedRows = sigs.count() * simhashBlocks)
   }
 
   /** full simhash-channel dup-pair query (same confirm predicate). */
@@ -661,7 +693,11 @@ object Dedup {
   def candidatesFromBands(sigs: DataFrame, cfg: Config = defaultConfig): DataFrame = {
     val keyed = sigs
       .select(idNum(col("image_id")).as("id"), col("phash"), explode(col("bands")).as("bv"))
-    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16)
+    // keyedRows: every shipped caller (dupPairsMinhash, Bench.pipelineE2E,
+    // ResumablePipeline) hands a materialized sigs frame, so the count is a
+    // cheap cached-block pass, not a recompute of the signature stage
+    saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16,
+      keyedRows = sigs.count() * cfg.bands)
   }
 
   /** Pre-filter a corpus-side confirm input to the ids that actually occur
