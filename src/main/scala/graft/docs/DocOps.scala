@@ -218,7 +218,8 @@ object DocOps {
     val keyed = sigs.select(col("doc_id").as("id"), col("sh").as("phash"),
       explode(gf.phash_block_keys(col("sh"), maxHamming + 1)).as("bv"))
     val pairs = graft.pipeline.Dedup.saltedBucketPairs(keyed, maxHamming, hotThreshold,
-      saltChunks, keyedRows = sigs.count() * (maxHamming + 1)) // sigs checkpointed
+      saltChunks, keyedRows = sigs.count() * (maxHamming + 1), // sigs checkpointed
+      firstAgreeBlocks = maxHamming + 1) // keys derive from sh == the carried signature
       .toDF("id_a", "id_b")
     // r6: semi-filter the signature side to candidate ids (inner joins on
     // doc_id ⇒ output-identical); sigs is already checkpointed, so the

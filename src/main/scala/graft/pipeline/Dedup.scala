@@ -136,7 +136,8 @@ object Dedup {
   }
 
   private[graft] def saltedBucketPairs(keyed: DataFrame, maxHamming: Int,
-      hotThreshold: Int, saltChunks: Int, keyedRows: Long = -1L): DataFrame = {
+      hotThreshold: Int, saltChunks: Int, keyedRows: Long = -1L,
+      firstAgreeBlocks: Int = 0): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
     val walkParts = walkPartitions(spark, keyedRows)
@@ -157,7 +158,7 @@ object Dedup {
     // ReuseExchange never fires — or checkpointed the full keyed frame or the
     // raw emission stream, whose extra GBs of block I/O erased the win in the
     // bandwidth-bound 32-core regime.)
-    def runWalk(kf: DataFrame): (Array[Long], DataFrame) = {
+    def runWalk(kf: DataFrame, fab: Int): (Array[Long], DataFrame) = {
       // marker count travels back on an accumulator (populated by the eager
       // localCheckpoint of the DEDUPED frame). Task retries can only inflate
       // the count (the walk is deterministic), and it is only tested against
@@ -167,7 +168,8 @@ object Dedup {
         .repartition(walkParts, col("bv"))
         .sortWithinPartitions(col("bv"))
         .as[BandedRow]
-        .mapPartitions(it => new BucketRunPairs(it, maxHamming, hotThreshold, markers = markers))
+        .mapPartitions(it => new BucketRunPairs(it, maxHamming, hotThreshold,
+          markers = markers, firstAgreeBlocks = fab))
         .toDF("id_a", "id_b")
         .distinct()
         .localCheckpoint()
@@ -219,7 +221,7 @@ object Dedup {
           gf.first_agree_key(col("bands_a"), col("bands_b")) === col("bv"))
         .select("id_a", "id_b")
     }
-    val (hotBvs, small) = runWalk(keyed)
+    val (hotBvs, small) = runWalk(keyed, firstAgreeBlocks)
     if (hotBvs.isEmpty) return small
     if (maxHamming >= 64) {
       // all-pairs mode: no signature to pigeonhole-refine by — every hot
@@ -253,7 +255,10 @@ object Dedup {
       .select(xxhash64(col("obv"), col("ck")).as("bv"), col("id"), col("phash"))
     // each pass is internally deduped; the cross-pass distinct below removes
     // pairs that collide both in a cold bucket (pass 1) and a hot one (pass 2)
-    val (denseBvs, small2) = runWalk(refined)
+    // refinement pass: bucket keys are xxhash64(obv, ck) — NOT block keys —
+    // so the first-agree ownership check must stay off here (it is also the
+    // pass that re-emits pairs whose owning bucket was hot)
+    val (denseBvs, small2) = runWalk(refined, 0)
     if (denseBvs.isEmpty) return small.union(small2).distinct().localCheckpoint()
     // Terminal path: a refined bucket only stays hot when >hotThreshold
     // members share a phash class verbatim — a genuine mega-duplicate
@@ -321,11 +326,27 @@ object Dedup {
       val emitted: org.apache.spark.util.LongAccumulator,
       val subSortNanos: org.apache.spark.util.LongAccumulator) extends Serializable
 
+  /** `firstAgreeBlocks` (r6): when > 0, the walk's bucket keys are the
+    * `firstAgreeBlocks` interleaved block keys of the SAME signature carried
+    * in the `phash` field (candidatesPhashBlocks; doc simhashDupPairs), and
+    * a pair within Hamming ≤ maxHamming shares ≥ blocks−maxHamming of them
+    * — so without dedup each surviving pair is emitted from EVERY shared
+    * block's bucket (~3-4× the distinct-exchange volume at the shipped
+    * Hamming-3 / 4-block config). The walk then emits a pair only from the
+    * bucket whose key equals the pair's FIRST agreeing block key. LOSSLESS
+    * by the same ownership argument as denseFirstAgreeJoin: both members
+    * carry the owning key, so they share that bucket; if it is cold the walk
+    * emits the pair there, and if it is hot the refinement pass (which runs
+    * with firstAgreeBlocks = 0) emits it. 0 disables the check (banded LSH
+    * keys are hashes of band slices, not derivable from `phash`;
+    * candidatesSimhash keys derive from simhash while `phash` carries the
+    * pHash). */
   private[graft] final class BucketRunPairs(
       rows: Iterator[BandedRow], maxHamming: Int, hotThreshold: Int,
       maxBufferedPairs: Int = BucketRunPairs.MaxBufferedPairs,
       markers: org.apache.spark.util.LongAccumulator = null,
-      counters: WalkCounters = null)
+      counters: WalkCounters = null,
+      firstAgreeBlocks: Int = 0)
       extends Iterator[PairRow] {
     import BucketRunPairs.SubBucketMin
     // the sub-bucket pass packs the member index into 20 bits of its sort key
@@ -359,13 +380,20 @@ object Dedup {
     private var cEmitted = 0L
     private var cSubSortNs = 0L
     private var nextPair: PairRow = _
+    // run-state fields MUST be declared (and thus initialized) BEFORE the
+    // constructor's advance() call below: a declaration after it would have
+    // its `= 0L` initializer run AFTER advance() already buffered the first
+    // run, wiping state that outlives the call — curBv would read 0 for
+    // every later emission from the first run (the r6 first-agree check
+    // tripped exactly this; same constructor-ordering trap radixAux
+    // documents)
+    private var markerBv = 0L
+    private var curBv = 0L // bv of the currently buffered run
     advance()
 
     /** buffer the next complete run into ids/phs. Returns -1 at input end,
       * 0 for a buffered run, 1 for an oversized run (fully consumed, not
       * buffered; its bv is reported via markerBv). */
-    private var markerBv = 0L
-    private var curBv = 0L // bv of the currently buffered run
     private def fillRun(): Int = {
       if (!hasHeld) {
         if (!rows.hasNext) return -1
@@ -420,7 +448,9 @@ object Dedup {
             val j = b
             b += 1
             cCursorChecks += 1
-            if (java.lang.Long.bitCount(pa ^ phs(j)) <= maxHamming) {
+            if (java.lang.Long.bitCount(pa ^ phs(j)) <= maxHamming &&
+                (firstAgreeBlocks == 0 ||
+                  firstAgreeBlockKey(pa, phs(j)) == curBv)) {
               val x = ids(a)
               val y = ids(j)
               cEmitted += 1
@@ -514,6 +544,20 @@ object Dedup {
       }
     }
 
+    /** value of the first block key on which both signatures agree — the
+      * pair's owning bucket under the firstAgreeBlocks dedup. A pair within
+      * Hamming ≤ blocks−1 always has one (pigeonhole), and this walk only
+      * evaluates it for pairs that already passed the Hamming filter. */
+    @inline private def firstAgreeBlockKey(pa: Long, pb: Long): Long = {
+      var c = 0
+      while (c < firstAgreeBlocks) {
+        val ka = BucketRunPairs.blockKey(pa, firstAgreeBlocks, c)
+        if (ka == BucketRunPairs.blockKey(pb, firstAgreeBlocks, c)) return ka
+        c += 1
+      }
+      Long.MinValue // unreachable for Hamming-passed pairs; never equals a bv tag
+    }
+
     /** emit a surviving pair into the eager buffer (ids normalized). */
     private def appendPair(x: Long, y: Long): Unit = {
       cEmitted += 1
@@ -600,7 +644,8 @@ object Dedup {
                   if (keys(cc * n + ma) == keys(cc * n + mb)) first = false
                   cc += 1
                 }
-                if (first) {
+                if (first && (firstAgreeBlocks == 0 ||
+                    firstAgreeBlockKey(pa, phs(mb)) == curBv)) {
                   if (bufN >= maxBufferedPairs) { bufN = 0; bufI = 0; return false }
                   appendPair(ids(ma), ids(mb))
                 }
@@ -621,6 +666,19 @@ object Dedup {
   }
 
   private[graft] object BucketRunPairs {
+    /** single interleaved block key — must stay BIT-IDENTICAL to
+      * `Kernels.interleavedBlockKeys(phash, blocks)(i)` (the key generator
+      * of the block channels); equality is spec-gated in BucketRunPairsSpec. */
+    @inline def blockKey(phash: Long, blocks: Int, i: Int): Long =
+      if (blocks == 4) (i.toLong << 56) | graft.hash.HashKernels.unzip4(phash, i)
+      else {
+        val width = 64 / blocks
+        var v = 0L
+        var j = 0
+        while (j < width) { v |= ((phash >>> (j * blocks + i)) & 1L) << j; j += 1 }
+        (i.toLong << 56) | v
+      }
+
     /** run size at which the pigeonhole sub-bucket pass beats the O(n²)
       * cursor walk (sort cost ≈ classes·n·log n vs n²/2 comparisons). */
     val SubBucketMin = 64
@@ -643,9 +701,11 @@ object Dedup {
     val keyed = prepared(corpus)
       .select(col("id"), col("phash"),
         explode(gf.phash_block_keys(col("phash"), blocksFor(cfg))).as("bv"))
-    // keyedRows: cheap parquet count × blocks, sizing the walk exchange
+    // keyedRows: cheap parquet count × blocks, sizing the walk exchange;
+    // firstAgreeBlocks: keys derive from the carried phash, so the walk can
+    // emit each pair only from its owning (first-agreeing) block bucket
     saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16,
-      keyedRows = corpus.count() * blocksFor(cfg))
+      keyedRows = corpus.count() * blocksFor(cfg), firstAgreeBlocks = blocksFor(cfg))
   }
 
   /** SimHash pigeonhole candidates (numeric ids): interleaved block keys
@@ -711,7 +771,8 @@ object Dedup {
     * rows the joins discarded).
     *
     * Adaptive gate (conf-overridable so cluster deployments retune without
-    * code changes), measured on the sf0.1 corpus both ways:
+    * code changes), measured on the sf0.1 corpus both ways — a size floor
+    * on the big side (gate 0, in code below) plus:
     *  1. SELECTIVITY pre-gate: candidate pairs must number well under the
     *     big side's row count (`pairs · graft.confirm.semiFilterSelectivity`
     *     ≤ bigRows, default factor 4). The dup-dense image corpus at sf0.1
@@ -736,7 +797,12 @@ object Dedup {
     val spark = candidates.sparkSession
     def confL(key: String, dflt: Long): Long =
       spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
-    if (candidates.count() * confL("graft.confirm.semiFilterSelectivity", 4L) > bigRows) None
+    // 0. big sides below `semiFilterMinRows` aren't worth ANY gate job: the
+    //    full-corpus confirm is already sub-second there, and the gate's
+    //    count/distinct/broadcast jobs measured a net +0.2-0.3 s on the
+    //    5000-doc sf0.1 channels. One cheap count decides.
+    if (bigRows < confL("graft.confirm.semiFilterMinRows", 1L << 20)) None
+    else if (candidates.count() * confL("graft.confirm.semiFilterSelectivity", 4L) > bigRows) None
     else {
       val ids = candidates
         .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
@@ -1019,13 +1085,35 @@ object Dedup {
       if (p == x) x
       else { parent(x) = parent(p); find(parent(x)) }
     }
+    // r6: vid → dense-index lookup. The surrogate ids are near-dense by
+    // construction (substring of img_%010d), so when the id RANGE is within
+    // 4× the vertex count a direct-index int table (4·range bytes ≤ 16 B per
+    // vertex — under the vids array's own 8 B/entry × 2 budget) replaces the
+    // per-endpoint binary search: 2 searches × nEdges × log(nv) ≈ 1 s of
+    // single-threaded driver wall at the sf0.1 edge set drop to O(1) loads.
+    // Sparse id spaces keep the binary search — same results either way.
+    val minVid = if (nv > 0) vids(0) else 0L
+    val range = if (nv > 0) vids(nv - 1) - minVid + 1 else 0L
+    val dense: Array[Int] =
+      if (nv > 0 && range <= math.max(nv.toLong * 4, 1L << 16) && range <= Int.MaxValue - 8) {
+        val d = new Array[Int](range.toInt)
+        java.util.Arrays.fill(d, -1)
+        var k = 0
+        while (k < nv) { d((vids(k) - minVid).toInt) = k; k += 1 }
+        d
+      } else null
+    @inline def idxOf(vid: Long): Int =
+      if (dense != null) {
+        val off = vid - minVid
+        if (off < 0 || off >= range) -1 else dense(off.toInt)
+      } else java.util.Arrays.binarySearch(vids, 0, nv, vid)
     ci = 0
     while (ci < chunks.length) {
       val ch = chunks(ci)
       i = 0
       while (i < ch.length) {
-        val a = find(java.util.Arrays.binarySearch(vids, 0, nv, ch(i)))
-        val b = find(java.util.Arrays.binarySearch(vids, 0, nv, ch(i + 1)))
+        val a = find(idxOf(ch(i)))
+        val b = find(idxOf(ch(i + 1)))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b } // min-index = min-id (vids sorted)
         i += 2
       }

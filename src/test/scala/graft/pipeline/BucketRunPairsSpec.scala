@@ -152,6 +152,45 @@ class BucketRunPairsSpec extends AnyFunSuite {
     assert(got.contains((30000L, 30001L)))
   }
 
+  test("first-agree block dedup: exactly-once emission, set equals brute force (r6)") {
+    // blockKey must stay bit-identical to the key generator the channels use
+    val rnd0 = new scala.util.Random(99)
+    for (_ <- 0 until 200; blocks <- Seq(2, 4, 8)) {
+      val ph = rnd0.nextLong()
+      val want = graft.spark.expr.Kernels.interleavedBlockKeys(ph, blocks).toLongArray()
+      val got = Array.tabulate(blocks)(i => Dedup.BucketRunPairs.blockKey(ph, blocks, i))
+      assert(got.toSeq === want.toSeq, s"phash=$ph blocks=$blocks")
+    }
+    // walk the REAL block-keyed layout (every row exploded to its `blocks`
+    // bucket keys, hash-co-located per key): with firstAgreeBlocks on, the
+    // multiset of emitted pairs must have NO duplicates and its set must
+    // equal the firstAgree=0 walk's distinct set — for runs on both sides
+    // of SubBucketMin (cursor and sub-bucket paths)
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 20) {
+      val blocks = 4
+      val n = 40 + rnd.nextInt(200)
+      val base = rnd.nextLong()
+      val rows = (1L to n.toLong).flatMap { id =>
+        // cluster of near-identical phashes so Hamming<=3 pairs are dense
+        var ph = base
+        val flips = rnd.nextInt(4)
+        (0 until flips).foreach(_ => ph ^= 1L << rnd.nextInt(64))
+        (0 until blocks).map { i =>
+          (Dedup.BucketRunPairs.blockKey(ph, blocks, i), id, ph)
+        }
+      }.sortBy(_._1)
+      def run(fab: Int) =
+        new Dedup.BucketRunPairs(
+          rows.iterator.map(r => Dedup.BandedRow(r._1, r._2, r._3)),
+          3, 1 << 20, firstAgreeBlocks = fab)
+          .map(p => (p.id_a, p.id_b)).toSeq
+      val once = run(blocks)
+      assert(once.distinct.size === once.size, s"trial=$trial: duplicate emissions")
+      assert(once.toSet === run(0).toSet, s"trial=$trial: pair set changed")
+    }
+  }
+
   test("empty input and all-singleton input emit nothing") {
     assert(walk(Nil, 3, 8).isEmpty)
     val singles = (1L to 5L).map(i => (i, i, 0L))
