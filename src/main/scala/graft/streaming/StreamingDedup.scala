@@ -218,6 +218,17 @@ object StreamingDedup {
     val indexDir = s"$outDir/index"
     val pairsDir = s"$outDir/dup_pairs"
     val hasLegacyPairs = migrateLegacyFlatPairs(pairsDir)
+    // r6: the batch=-1 legacy pair set is FROZEN once migrated, but the
+    // exactly-once anti-join below consumed it per micro-batch — an
+    // unbounded ingest re-listed and re-scanned that parquet forever. Read
+    // and persist it once at stream start instead; each batch's anti-join
+    // then probes cached blocks. (Retiring the anti-join entirely once the
+    // replayed tail has passed would need a watermark over re-arriving ids —
+    // left as is: the cached probe is cheap and unconditionally safe.)
+    val legacyPairs =
+      if (!hasLegacyPairs) null
+      else spark.read.parquet(s"$pairsDir/batch=-1").select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     stream.writeStream
       .option("checkpointLocation", s"$outDir/checkpoint")
@@ -300,10 +311,8 @@ object StreamingDedup {
         // emitted by exactly one batch in the normal flow (see
         // migrateLegacyFlatPairs), so nothing legitimately new is dropped.
         val dedupedOut =
-          if (!hasLegacyPairs) pairsOut
-          else pairsOut.join(
-            spark.read.parquet(s"$pairsDir/batch=-1").select("id_a", "id_b"),
-            Seq("id_a", "id_b"), "left_anti")
+          if (legacyPairs == null) pairsOut
+          else pairsOut.join(legacyPairs, Seq("id_a", "id_b"), "left_anti")
         dedupedOut.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
         // append this batch to the index partitioned by band-key bucket
         // (read-before-overwrite is unsafe; the index is append-only like an
