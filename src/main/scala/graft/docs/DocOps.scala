@@ -53,25 +53,33 @@ object DocOps {
   def ngramDupPairsExact(docs: DataFrame, n: Int = 3, tau: Double = 0.6,
       maxDf: Int = Int.MaxValue): DataFrame = {
     val (pref, gramSets) = ngramPrefixIndex(docs, n, tau, maxDf)
-    // checkpoint: the candidate set feeds the two confirm joins AND the r6
-    // semi-filter (id pass + count gate); un-materialized, each consumer
-    // would re-run the prefix self-join
-    val cand = pref.toDF("id_a", "g")
+    val cand0 = pref.toDF("id_a", "g")
       .join(pref.toDF("id_b", "g"), "g")
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct().localCheckpoint()
+      .select("id_a", "id_b").distinct()
     // r6: semi-filter the per-doc gram sets to candidate ids BEFORE the
     // tokenize projection (guide §3.2) — the confirm joins are inner on
     // doc_id, so non-candidate docs never influence the output; without the
-    // filter both join sides re-tokenize the full corpus
-    val confirmSets = graft.pipeline.Dedup.confirmIdFilter(cand, docs.count()) match {
-      case Some(ids) =>
-        docs.join(broadcast(ids.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
-          .where(size(filter(split(col("text"), "\\s+"), t => t =!= "")) >= n)
-          .select(col("doc_id"), gf.token_ngrams(col("text"), n).as("gs"))
-          .localCheckpoint()
-      case None => gramSets
-    }
+    // filter both join sides re-tokenize the full corpus. The candidate set
+    // is checkpointed only when the gate's size floor passes (the id pass +
+    // count consume it twice); under the floor the plan is exactly the r5
+    // shape plus one cheap docs.count.
+    val nDocs = docs.count()
+    val (cand, confirmSets) =
+      if (nDocs < graft.pipeline.Dedup.semiFilterMinRows(docs.sparkSession))
+        (cand0, gramSets)
+      else {
+        val c = cand0.localCheckpoint()
+        val sets = graft.pipeline.Dedup.confirmIdFilter(c, nDocs) match {
+          case Some(ids) =>
+            docs.join(broadcast(ids.select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
+              .where(size(filter(split(col("text"), "\\s+"), t => t =!= "")) >= n)
+              .select(col("doc_id"), gf.token_ngrams(col("text"), n).as("gs"))
+              .localCheckpoint()
+          case None => gramSets
+        }
+        (c, sets)
+      }
     cand
       .join(confirmSets.toDF("id_a", "gs_a"), "id_a")
       .join(confirmSets.toDF("id_b", "gs_b"), "id_b")

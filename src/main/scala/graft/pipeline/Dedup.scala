@@ -793,6 +793,13 @@ object Dedup {
     * would cost the distinct-id pass on every dense corpus, which is
     * exactly the measured regression. Returns None when a gate declines
     * (callers keep the full-shuffle shape — output identical either way). */
+  /** gate-0 floor of [[confirmIdFilter]], exposed so callers that must
+    * decide whether to even materialize their candidate frame (the id pass
+    * consumes it twice) can short-circuit without paying a checkpoint job
+    * the declined gate would never use. */
+  private[graft] def semiFilterMinRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.confirm.semiFilterMinRows").map(_.toLong).getOrElse(1L << 20)
+
   private[graft] def confirmIdFilter(candidates: DataFrame, bigRows: => Long): Option[DataFrame] = {
     val spark = candidates.sparkSession
     def confL(key: String, dflt: Long): Long =
@@ -801,7 +808,7 @@ object Dedup {
     //    full-corpus confirm is already sub-second there, and the gate's
     //    count/distinct/broadcast jobs measured a net +0.2-0.3 s on the
     //    5000-doc sf0.1 channels. One cheap count decides.
-    if (bigRows < confL("graft.confirm.semiFilterMinRows", 1L << 20)) None
+    if (bigRows < semiFilterMinRows(spark)) None
     else if (candidates.count() * confL("graft.confirm.semiFilterSelectivity", 4L) > bigRows) None
     else {
       val ids = candidates
