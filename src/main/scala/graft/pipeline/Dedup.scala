@@ -697,15 +697,19 @@ object Dedup {
 
   /** exact-cover candidate pairs (numeric ids): same interleaved block key,
     * Hamming-filtered in the join stage. */
-  def candidatesPhashBlocks(corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+  def candidatesPhashBlocks(corpus: DataFrame, cfg: Config = defaultConfig,
+      corpusRows: Long = -1L): DataFrame = {
     val keyed = prepared(corpus)
       .select(col("id"), col("phash"),
         explode(gf.phash_block_keys(col("phash"), blocksFor(cfg))).as("bv"))
-    // keyedRows: cheap parquet count × blocks, sizing the walk exchange;
-    // firstAgreeBlocks: keys derive from the carried phash, so the walk can
-    // emit each pair only from its owning (first-agreeing) block bucket
+    // keyedRows: cheap parquet count × blocks (callers that already know the
+    // row count pass it — dupPairs shares one count between this and the
+    // confirm gate), sizing the walk exchange; firstAgreeBlocks: keys derive
+    // from the carried phash, so the walk can emit each pair only from its
+    // owning (first-agreeing) block bucket
+    val n = if (corpusRows >= 0) corpusRows else corpus.count()
     saltedBucketPairs(keyed, cfg.hammingThreshold, hotThreshold = 1 << 20, saltChunks = 16,
-      keyedRows = corpus.count() * blocksFor(cfg), firstAgreeBlocks = blocksFor(cfg))
+      keyedRows = n * blocksFor(cfg), firstAgreeBlocks = blocksFor(cfg))
   }
 
   /** SimHash pigeonhole candidates (numeric ids): interleaved block keys
@@ -834,8 +838,10 @@ object Dedup {
     * tokenize kernel and the confirm-join shuffles now run over ~candidate
     * cardinality, not corpus cardinality. Join results are identical: the
     * joins are inner on id and the filter only removes non-matching rows. */
-  def confirm(candidates: DataFrame, corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
-    val rows = confirmIdFilter(candidates, corpus.count()) match {
+  def confirm(candidates: DataFrame, corpus: DataFrame, cfg: Config = defaultConfig,
+      corpusRows: Long = -1L): DataFrame = {
+    val rows = confirmIdFilter(candidates,
+      if (corpusRows >= 0) corpusRows else corpus.count()) match {
       case Some(ids) =>
         corpus
           .select(idNum(col("image_id")).as("id"), col("phash"), col("caption"))
@@ -892,10 +898,13 @@ object Dedup {
       .select(idStr(col("id_a")).as("id_a"), idStr(col("id_b")).as("id_b"), col("lcs"))
   }
 
-  /** full oracle-exact dup-pair query. */
-  def dupPairs(corpus: DataFrame, cfg: Config = defaultConfig): DataFrame =
-    confirm(candidatesPhashBlocks(corpus, cfg), corpus, cfg)
+  /** full oracle-exact dup-pair query. One corpus count serves both the
+    * walk-exchange sizing and the confirm gate. */
+  def dupPairs(corpus: DataFrame, cfg: Config = defaultConfig): DataFrame = {
+    val n = corpus.count()
+    confirm(candidatesPhashBlocks(corpus, cfg, n), corpus, cfg, corpusRows = n)
       .select("id_a", "id_b")
+  }
 
   /** full minhash-channel dup-pair query. The signature projection is
     * materialized FIRST: the salted-bucket hot path re-executes its input
